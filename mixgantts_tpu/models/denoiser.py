@@ -1,0 +1,71 @@
+"""DiffWave-style conditional denoiser (`model/modules.py:382-446` and
+`model/blocks.py:1133-1176` in the reference), channel-last.
+
+The hot path of both training and synthesis: 20 gated residual blocks of
+(conv-k3 -> gate -> two 1x1 projections).  Channel-last [B, T, C] keeps every
+conv an MXU matmul over the feature axis; the whole stack fuses well under
+XLA.  `mixgantts_tpu.ops.pallas` carries a fused-kernel variant of the
+residual stack for further HBM-traffic reduction.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import Conv1d, LinearNorm, StepEmbeddingMLP
+
+
+class ResidualBlock(nn.Module):
+    residual_channels: int
+
+    @nn.compact
+    def __call__(self, x, cond, step_emb, spk_emb=None):
+        # x: [B, T, C]; cond: [B, T, H]; step_emb: [B, C]; spk_emb: [B, H]|None
+        C = self.residual_channels
+        step = LinearNorm(C, name="diffusion_projection")(step_emb)[:, None, :]
+        conditioner = Conv1d(C, 1, name="conditioner_projection")(cond)
+        residual = y = x + step
+        y = y + conditioner
+        if spk_emb is not None:
+            y = y + LinearNorm(C, name="speaker_projection")(spk_emb)[:, None, :]
+        y = Conv1d(2 * C, 3, name="conv_layer")(y)
+        gate, filt = jnp.split(y, 2, axis=-1)
+        y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+        y = Conv1d(2 * C, 1, name="output_projection")(y)
+        x_out, skip = jnp.split(y, 2, axis=-1)
+        return (x_out + residual) / math.sqrt(2.0), skip
+
+
+class Denoiser(nn.Module):
+    n_mels: int = 80
+    d_encoder: int = 256
+    residual_channels: int = 256
+    residual_layers: int = 20
+    multi_speaker: bool = False
+
+    @nn.compact
+    def __call__(self, x_t, t, cond, spk_emb=None):
+        """x_t: [B, T, n_mels] noisy mel; t: [B] int diffusion step;
+        cond: [B, T, H]; spk_emb: [B, H] or None.  Returns x0 pred
+        [B, T, n_mels]."""
+        C = self.residual_channels
+        x = Conv1d(C, 1, name="input_projection")(x_t)
+        x = jax.nn.relu(x)
+        step_emb = StepEmbeddingMLP(C, C, name="mlp")(t)
+        if not self.multi_speaker:
+            spk_emb = None
+
+        skip_sum = jnp.zeros_like(x)
+        for i in range(self.residual_layers):
+            x, skip = ResidualBlock(C, name=f"res_{i}")(
+                x, cond, step_emb, spk_emb)
+            skip_sum = skip_sum + skip
+        x = skip_sum / math.sqrt(self.residual_layers)
+        x = Conv1d(C, 1, name="skip_projection")(x)
+        x = jax.nn.relu(x)
+        # zero-initialized output projection (reference zeroes its weights)
+        x = Conv1d(self.n_mels, 1, name="output_projection",
+                   kernel_init=nn.initializers.zeros)(x)
+        return x
