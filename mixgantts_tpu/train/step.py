@@ -1,0 +1,192 @@
+"""Jitted train/eval steps.
+
+Parity targets: `train.py:93-186` in the reference — aux mode does one
+forward + recon backward on the Noam-scheduled optimizer; naive/shallow run
+the two-phase GAN step: (1) D update on the detached first forward's
+(x_t, x_t_prev[_pred]) pairs, (2) a SECOND generator forward (fresh noise/t
+draws, matching `train.py:133,153`) through the *updated* discriminator for
+adv + recon + feature-matching.  Both phases compile into ONE XLA program
+per step; gradient clipping and the optimizer chains live in `optim.py`.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    LossConfig, generator_loss, d_loss_fn, g_loss_fn,
+)
+from .optim import build_fs2_optimizer, build_gan_optimizer, apply_lr
+
+BATCH_MODEL_KEYS = (
+    "speakers", "texts", "src_lens", "word_boundaries", "src_w_lens",
+    "mels", "mel_lens", "attn_priors", "p_targets", "e_targets",
+    "d_targets", "spker_embeds",
+)
+
+
+def _model_kwargs(batch):
+    kw = {k: batch[k] for k in BATCH_MODEL_KEYS if k in batch}
+    kw["max_mel_len"] = batch["mels"].shape[1]
+    return kw
+
+
+def make_train_step(mode, model, discriminator, model_config, train_config):
+    """Returns step_fn(state, batch) -> (state, metrics); jit/pjit-ready."""
+    loss_cfg = LossConfig.from_configs(mode, model_config, train_config)
+    sched = model.schedule
+    opt_fs2 = build_fs2_optimizer(model_config, train_config)
+    opt_cfg = train_config["optimizer"]
+    opt_gan = build_gan_optimizer(opt_cfg["betas"], opt_cfg["grad_clip_thresh"])
+
+    def g_forward(g_params, batch_stats, batch, rngs, train=True):
+        variables = {"params": g_params, "batch_stats": batch_stats}
+        out, mut = model.apply(
+            variables, **_model_kwargs(batch), train=train, rngs=rngs,
+            mutable=["batch_stats"])
+        return out, mut.get("batch_stats", batch_stats)
+
+    def recon_losses(out, batch, step):
+        return generator_loss(
+            loss_cfg, sched, out, batch["mels"], batch["p_targets"],
+            batch["e_targets"], step=step)
+
+    if mode == "aux":
+
+        def step_fn(state, batch):
+            rng, r_drop, r_diff = jax.random.split(state.rng, 3)
+
+            def loss_fn(g_params):
+                out, new_bs = g_forward(
+                    g_params, state.g_batch_stats, batch,
+                    {"dropout": r_drop, "diffusion": r_diff})
+                losses = recon_losses(out, batch, state.step)
+                return losses["recon_loss"], (losses, new_bs)
+
+            grads, (losses, new_bs) = jax.grad(
+                loss_fn, has_aux=True)(state.g_params)
+            updates, new_opt = opt_fs2.update(
+                grads, state.opt_g_fs2, state.g_params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.g_params, updates)
+            metrics = dict(losses)
+            metrics.update(
+                total_loss=losses["recon_loss"],
+                G_loss=losses["recon_loss"],
+                D_loss=jnp.zeros(()), adv_loss=jnp.zeros(()))
+            state = state.replace(
+                step=state.step + 1, g_params=new_params,
+                g_batch_stats=new_bs, opt_g_fs2=new_opt, rng=rng)
+            return state, metrics
+
+        return step_fn
+
+    # --- GAN modes (naive / shallow) ---------------------------------------
+
+    def step_fn(state, batch):
+        rng, r1d, r1f, r2d, r2f = jax.random.split(state.rng, 5)
+
+        # Phase 1: discriminator update on the detached first forward.
+        out1, _ = g_forward(
+            state.g_params, state.g_batch_stats, batch,
+            {"dropout": r1d, "diffusion": r1f})
+        x_ts = jax.lax.stop_gradient(out1.x_ts)
+        x_t_prevs = jax.lax.stop_gradient(out1.x_t_prevs)
+        x_t_prev_preds = jax.lax.stop_gradient(out1.x_t_prev_preds)
+        spk = (jax.lax.stop_gradient(out1.speaker_emb)
+               if out1.speaker_emb is not None else None)
+        t = out1.diffusion_step
+
+        def d_loss(d_params):
+            fake_c, fake_u = discriminator.apply(
+                {"params": d_params}, x_ts, x_t_prev_preds, spk, t)
+            real_c, real_u = discriminator.apply(
+                {"params": d_params}, x_ts, x_t_prevs, spk, t)
+            r_loss, f_loss = d_loss_fn(
+                real_c[-1], real_u[-1], fake_c[-1], fake_u[-1])
+            return r_loss + f_loss
+
+        D_loss, d_grads = jax.value_and_grad(d_loss)(state.d_params)
+        d_updates, new_opt_d = opt_gan.update(
+            d_grads, state.opt_d, state.d_params)
+        d_updates = apply_lr(d_updates, state.lr_d)
+        new_d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates)
+
+        # Phase 2: generator update through the updated discriminator,
+        # with a fresh forward (new t / noise draws).
+        def g_loss(g_params):
+            out2, new_bs = g_forward(
+                g_params, state.g_batch_stats, batch,
+                {"dropout": r2d, "diffusion": r2f})
+            fake_c, fake_u = discriminator.apply(
+                {"params": new_d_params}, out2.x_ts, out2.x_t_prev_preds,
+                out2.speaker_emb, out2.diffusion_step)
+            real_c, real_u = discriminator.apply(
+                {"params": new_d_params}, out2.x_ts, out2.x_t_prevs,
+                out2.speaker_emb, out2.diffusion_step)
+            adv_loss = g_loss_fn(fake_c[-1], fake_u[-1])
+            losses = generator_loss(
+                loss_cfg, sched, out2, batch["mels"], batch["p_targets"],
+                batch["e_targets"], step=state.step,
+                Ds=(real_c, real_u, fake_c, fake_u))
+            G_loss = adv_loss + losses["recon_loss"] + losses["fm_loss"]
+            return G_loss, (losses, adv_loss, new_bs)
+
+        (G_loss, (losses, adv_loss, new_bs)), g_grads = jax.value_and_grad(
+            g_loss, has_aux=True)(state.g_params)
+        g_updates, new_opt_g = opt_gan.update(
+            g_grads, state.opt_g, state.g_params)
+        g_updates = apply_lr(g_updates, state.lr_g)
+        new_g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates)
+
+        metrics = dict(losses)
+        metrics.update(total_loss=D_loss + G_loss, D_loss=D_loss,
+                       G_loss=G_loss, adv_loss=adv_loss)
+        state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_batch_stats=new_bs,
+            d_params=new_d_params,
+            opt_g=new_opt_g, opt_d=new_opt_d, rng=rng)
+        return state, metrics
+
+    return step_fn
+
+
+def make_eval_step(mode, model, discriminator, model_config, train_config):
+    """Loss computation without updates (parity: `evaluate.py:19-149`)."""
+    loss_cfg = LossConfig.from_configs(mode, model_config, train_config)
+    sched = model.schedule
+
+    def eval_fn(state, batch, rng):
+        r_diff, = jax.random.split(rng, 1)
+        variables = {"params": state.g_params,
+                     "batch_stats": state.g_batch_stats}
+        out = model.apply(variables, **_model_kwargs(batch), train=False,
+                          rngs={"diffusion": r_diff})
+        if mode == "aux":
+            losses = generator_loss(
+                loss_cfg, sched, out, batch["mels"], batch["p_targets"],
+                batch["e_targets"], step=state.step)
+            losses.update(D_loss=jnp.zeros(()), adv_loss=jnp.zeros(()),
+                          G_loss=losses["recon_loss"])
+            return losses
+        fake_c, fake_u = discriminator.apply(
+            {"params": state.d_params}, out.x_ts, out.x_t_prev_preds,
+            out.speaker_emb, out.diffusion_step)
+        real_c, real_u = discriminator.apply(
+            {"params": state.d_params}, out.x_ts, out.x_t_prevs,
+            out.speaker_emb, out.diffusion_step)
+        r_loss, f_loss = d_loss_fn(
+            real_c[-1], real_u[-1], fake_c[-1], fake_u[-1])
+        adv_loss = g_loss_fn(fake_c[-1], fake_u[-1])
+        losses = generator_loss(
+            loss_cfg, sched, out, batch["mels"], batch["p_targets"],
+            batch["e_targets"], step=state.step,
+            Ds=(real_c, real_u, fake_c, fake_u))
+        losses.update(
+            D_loss=r_loss + f_loss, adv_loss=adv_loss,
+            G_loss=adv_loss + losses["recon_loss"] + losses["fm_loss"])
+        return losses
+
+    return eval_fn

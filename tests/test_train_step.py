@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixgantts_tpu.models.discriminator import JCUDiscriminator
+from mixgantts_tpu.train import create_train_state, make_train_step, make_eval_step
+
+from test_model_forward import tiny_model, tiny_batch
+
+TRAIN_CONFIG = {
+    "optimizer": {
+        "batch_size": 2, "batch_size_shallow": 2, "betas": [0.5, 0.9],
+        "gamma": 0.999, "grad_clip_thresh": 1, "grad_acc_step": 1,
+        "init_lr_G": 1e-4, "init_lr_D": 2e-4,
+    },
+    "optimizer_fs2": {
+        "betas": [0.9, 0.98], "eps": 1e-9, "weight_decay": 0.0,
+        "warm_up_step": 10, "anneal_steps": [100], "anneal_rate": 0.3,
+    },
+    "loss": {
+        "adv_loss_mode": "lsgan", "noise_loss": "l1", "dur_loss": "mse",
+        "pitch_loss": "l1", "lambda_d": 0.1, "lambda_p": 0.1,
+        "lambda_e": 0.1, "lambda_fm": 10.0, "lambda_fm_shallow": 0.001,
+    },
+    "step": {"total_step_aux": 10, "total_step_naive": 10,
+             "total_step_shallow": 10, "log_step": 5, "synth_step": 5,
+             "val_step": 5, "save_step": 5},
+    "aligner": {"helper_type": "dga", "ctc_step": 0, "ctc_weight_start": 1.0,
+                "ctc_weight_end": 1.0, "guided_sigma": 0.4,
+                "guided_lambda": 1.0, "guided_weight": 1.0},
+}
+MODEL_CONFIG = {
+    "transformer": {"encoder_hidden": 32},
+    "discriminator": {"n_layer": 3, "n_cond_layer": 2},
+}
+
+
+def tiny_disc():
+    return JCUDiscriminator(n_mels=16, residual_channels=16,
+                            n_channels=(8, 16, 32, 16, 1))
+
+
+def setup(mode, helper="dga"):
+    import copy
+    tc = copy.deepcopy(TRAIN_CONFIG)
+    tc["aligner"]["helper_type"] = helper
+    model = tiny_model(mode)
+    disc = tiny_disc()
+    batch = tiny_batch()
+    batch.pop("max_mel_len")
+    batch = {k: v for k, v in batch.items()}
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc,
+        {**batch, "max_mel_len": batch["mels"].shape[1]},
+        tc, MODEL_CONFIG)
+    step_fn = jax.jit(make_train_step(mode, model, disc, MODEL_CONFIG, tc))
+    return model, disc, state, step_fn, batch, tc
+
+
+@pytest.mark.parametrize("mode", ["aux", "naive", "shallow"])
+def test_train_step_runs_and_updates(mode):
+    model, disc, state, step_fn, batch, tc = setup(mode)
+    p0 = state.g_params
+    state1, metrics = step_fn(state, batch)
+    state2, metrics = step_fn(state1, batch)
+    assert int(state2.step) == 2
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # denoiser params must move in naive/shallow; encoder in aux/naive
+    def moved(path):
+        a = p0
+        b = state2.g_params
+        for key in path:
+            a, b = a[key], b[key]
+        leaves_a = jax.tree_util.tree_leaves(a)
+        leaves_b = jax.tree_util.tree_leaves(b)
+        return any(not np.allclose(x, y) for x, y in zip(leaves_a, leaves_b))
+
+    if mode in ("naive", "shallow"):
+        assert moved(["denoiser"])
+    if mode in ("aux", "naive"):
+        assert moved(["linguistic_encoder"])
+    if mode == "shallow":
+        # frozen-by-detach: the variance predictors receive no gradient
+        assert not moved(["linguistic_encoder", "pitch_predictor"])
+        assert not moved(["linguistic_encoder", "duration_predictor"])
+        # but the postnet still trains (postnet_loss keeps its gradient)
+        assert moved(["postnet"])
+
+
+@pytest.mark.parametrize("mode", ["aux", "naive"])
+def test_eval_step(mode):
+    model, disc, state, step_fn, batch, tc = setup(mode)
+    eval_fn = jax.jit(make_eval_step(mode, model, disc, MODEL_CONFIG, tc))
+    losses = eval_fn(state, batch, jax.random.PRNGKey(7))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_ctc_helper_mode():
+    model, disc, state, step_fn, batch, tc = setup("naive", helper="ctc")
+    state1, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["helper_loss"]))
+    assert float(metrics["helper_loss"]) != 0.0
