@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+
+from mixgantts_tpu.audio.mel import mel_filterbank, hz_to_mel, mel_to_hz
+from mixgantts_tpu.audio.stft import TacotronSTFT, hann_window
+from mixgantts_tpu.audio.f0 import (
+    extract_f0, f0_to_coarse, interpolate_unvoiced, norm_interp_f0,
+)
+from mixgantts_tpu.audio.wav import load_wav, save_wav
+
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 440.0, 1000.0, 4000.0, 8000.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-10)
+
+
+def test_mel_filterbank_shape_and_slaney_norm():
+    fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every filter has support and peaks where its neighbors are lower
+    assert (fb.sum(axis=1) > 0).all()
+    # filters above fmax region are zero
+    freqs = np.linspace(0, 22050 / 2, 513)
+    assert fb[:, freqs > 8000.0].sum() == 0
+
+
+def test_mel_filterbank_against_slaney_reference_values():
+    # librosa.filters.mel(22050, 2048, n_mels=5) golden check via formula:
+    # first filter's peak frequency ~ second mel breakpoint
+    fb = mel_filterbank(22050, 2048, 5, 0, None)
+    mel_pts = np.linspace(hz_to_mel(0), hz_to_mel(22050 / 2), 7)
+    hz_pts = mel_to_hz(mel_pts)
+    freqs = np.linspace(0, 22050 / 2, 1025)
+    peak_bin = np.argmax(fb[0])
+    assert abs(freqs[peak_bin] - hz_pts[1]) < 22050 / 2048  # within one bin
+
+
+def test_stft_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    y = rng.randn(2048).astype(np.float32) * 0.1
+    stft = TacotronSTFT(1024, 256, 1024, 80, 22050, 0, 8000)
+    mel, energy = stft.mel_spectrogram(y)
+    mel, energy = np.asarray(mel)[0], np.asarray(energy)[0]
+    assert mel.shape == (80, 1 + len(y) // 256)
+
+    # oracle: manual reflect-pad + framed rfft + mel matmul + log-clip
+    win = hann_window(1024, 1024)
+    yp = np.pad(y, 512, mode="reflect")
+    frames = np.stack([yp[i * 256:i * 256 + 1024]
+                       for i in range(1 + len(y) // 256)])
+    mag = np.abs(np.fft.rfft(frames * win, axis=-1))
+    fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+    want_mel = np.log(np.clip(fb @ mag.T, 1e-5, None))
+    want_energy = np.linalg.norm(mag, axis=-1)
+    np.testing.assert_allclose(mel, want_mel, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(energy, want_energy, rtol=1e-3, atol=1e-4)
+
+
+def test_f0_tracks_synthetic_tone():
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr  # 1 s
+    for hz in [110.0, 220.0, 330.0]:
+        wav = 0.5 * np.sin(2 * np.pi * hz * t)
+        f0 = extract_f0(wav, sr, hop)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.8 * len(f0)
+        np.testing.assert_allclose(np.median(voiced), hz, rtol=0.02)
+
+
+def test_f0_silence_is_unvoiced():
+    f0 = extract_f0(np.zeros(22050), 22050, 256)
+    assert (f0 == 0).all()
+
+
+def test_f0_coarse_range():
+    f0 = np.array([0.0, 50.0, 440.0, 1100.0])
+    coarse = f0_to_coarse(f0)
+    assert coarse.min() >= 1 and coarse.max() <= 255
+
+
+def test_interpolate_unvoiced():
+    pitch = np.array([0.0, 100.0, 0.0, 0.0, 200.0, 0.0])
+    out = interpolate_unvoiced(pitch)
+    np.testing.assert_allclose(out, [100, 100, 400 / 3, 500 / 3, 200, 200])
+
+
+def test_norm_interp_f0_log():
+    f0 = np.array([0.0, 100.0, 200.0])
+    normed, uv = norm_interp_f0(f0, pitch_norm="log")
+    np.testing.assert_array_equal(uv, [True, False, False])
+    assert np.isfinite(normed).all()
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 22050
+    wav = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    save_wav(p, wav, sr)
+    back, got_sr = load_wav(p, sr)
+    assert got_sr == sr
+    np.testing.assert_allclose(back[:100], wav[:100], atol=2e-3)
+
+
+def test_wav_resample(tmp_path):
+    sr_in, sr_out = 16000, 22050
+    wav = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr_in) / sr_in))
+    p = str(tmp_path / "t.wav")
+    save_wav(p, wav.astype(np.float32), sr_in)
+    back, got_sr = load_wav(p, sr_out)
+    assert got_sr == sr_out
+    assert abs(len(back) - sr_out) < 16
+
+
+def test_griffin_lim_reconstructs_tone():
+    sr = 22050
+    wav = 0.5 * np.sin(2 * np.pi * 440 * np.arange(4096) / sr)
+    stft = TacotronSTFT(1024, 256, 1024, 80, sr, 0, 8000)
+    mel, _ = stft.mel_spectrogram(wav.astype(np.float32))
+    rec = stft.inv_mel_spec(np.asarray(mel)[0], n_iters=10)
+    f0 = extract_f0(rec, sr, 256)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0
+    np.testing.assert_allclose(np.median(voiced), 440.0, rtol=0.05)
