@@ -1,0 +1,136 @@
+"""HiFi-GAN V1 generator (flax, channel-last).
+
+Parity target: `hifigan/models.py:20-174` + `hifigan/config.json` in the
+reference — conv_pre(k7) -> 4 x [leaky_relu -> ConvTranspose (rates 8/8/2/2,
+kernels 16/16/4/4) -> 3-kernel MRF resblock stack averaged] -> leaky_relu ->
+conv_post(k7) -> tanh.  Weight-normed torch convs are folded to plain convs
+at conversion time (`fold_weight_norm`), matching `remove_weight_norm` at
+load (`hifigan/models.py` generator.remove_weight_norm()).
+
+Transposed convs use VALID padding + crop so converted torch weights are
+numerically exact: torch's ConvTranspose1d(stride=u, padding=(k-u)//2)
+equals the VALID transpose cropped by (k-u)//2 on both ends.
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+class ResBlock1(nn.Module):
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = nn.Conv(self.channels, (self.kernel_size,),
+                         kernel_dilation=(d,), padding="SAME",
+                         name=f"convs1_{i}")(xt)
+            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = nn.Conv(self.channels, (self.kernel_size,),
+                         padding="SAME", name=f"convs2_{i}")(xt)
+            x = x + xt
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    n_mels: int = 80
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, T, n_mels] log-mel -> waveform [B, T * prod(rates)]."""
+        x = nn.Conv(self.upsample_initial_channel, (7,), padding="SAME",
+                    name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(self.upsample_rates,
+                                       self.upsample_kernel_sizes)):
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
+                                 transpose_kernel=True, name=f"ups_{i}")(x)
+            crop = (k - u) // 2
+            if crop > 0:
+                x = x[:, crop:-crop]
+            acc = None
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                             self.resblock_dilation_sizes)):
+                y = ResBlock1(ch, rk, tuple(rd),
+                              name=f"resblocks_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / len(self.resblock_kernel_sizes)
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(
+            n_mels=config.get("num_mels", 80),
+            upsample_rates=tuple(config["upsample_rates"]),
+            upsample_kernel_sizes=tuple(config["upsample_kernel_sizes"]),
+            upsample_initial_channel=config["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(config["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in config["resblock_dilation_sizes"]),
+        )
+
+
+def fold_weight_norm(weight_v, weight_g):
+    """Fold torch weight_norm (v, g) into a plain kernel: g * v / ||v||,
+    the functional equivalent of `remove_weight_norm`."""
+    v = np.asarray(weight_v)
+    g = np.asarray(weight_g)
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def convert_torch_generator(state_dict, config):
+    """Map a torch HiFi-GAN generator state_dict (weight-normed) onto the
+    flax parameter tree.  Torch conv kernels are [out, in, k]; flax wants
+    [k, in, out] (and transposed convs [k, out, in] with
+    transpose_kernel=True -> torch layout [in, out, k] -> [k, out, in])."""
+
+    def conv_kernel(prefix):
+        if prefix + ".weight_v" in state_dict:
+            w = fold_weight_norm(state_dict[prefix + ".weight_v"],
+                                 state_dict[prefix + ".weight_g"])
+        else:
+            w = np.asarray(state_dict[prefix + ".weight"])
+        return w
+
+    def plain(prefix):
+        w = conv_kernel(prefix)  # [out, in, k]
+        return {"kernel": np.transpose(w, (2, 1, 0)),
+                "bias": np.asarray(state_dict[prefix + ".bias"])}
+
+    def transposed(prefix):
+        w = conv_kernel(prefix)  # torch convT: [in, out, k]
+        return {"kernel": np.transpose(w, (2, 1, 0)),
+                "bias": np.asarray(state_dict[prefix + ".bias"])}
+
+    params = {"conv_pre": plain("conv_pre"), "conv_post": plain("conv_post")}
+    n_kernels = len(config["resblock_kernel_sizes"])
+    for i in range(len(config["upsample_rates"])):
+        params[f"ups_{i}"] = transposed(f"ups.{i}")
+        for j in range(n_kernels):
+            block = {}
+            for c in range(len(config["resblock_dilation_sizes"][j])):
+                block[f"convs1_{c}"] = plain(
+                    f"resblocks.{i * n_kernels + j}.convs1.{c}")
+                block[f"convs2_{c}"] = plain(
+                    f"resblocks.{i * n_kernels + j}.convs2.{c}")
+            params[f"resblocks_{i}_{j}"] = block
+    return jax.tree_util.tree_map(jnp.asarray, params)
