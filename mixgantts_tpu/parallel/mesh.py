@@ -1,0 +1,57 @@
+"""Device-mesh data parallelism.
+
+The reference's only parallelism is single-process `torch.nn.DataParallel`
+pinned to one GPU (`train.py:3,43-44`; SURVEY.md section 2.11).  The
+TPU-native equivalent is a `jax.sharding.Mesh` with the batch axis sharded
+over the 'data' axis and parameters/optimizer state replicated; `jit` with
+these shardings compiles the train step into an SPMD program whose gradient
+all-reduce rides the ICI.  The mesh carries a spare 'model' axis so tensor-
+parallel shardings can be layered in without re-plumbing.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, data_axis=None, model_axis=1):
+    """1D/2D device mesh ('data', 'model'); model_axis defaults to 1 so all
+    devices serve data parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_axis is None:
+        data_axis = n // model_axis
+    dev_array = np.asarray(devices).reshape(data_axis, model_axis)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh):
+    """Leading-axis (batch) sharding over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a host batch dict with the batch axis sharded over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sharding), batch)
+
+
+def replicate_state(mesh, state):
+    """Replicate the train state (params + optimizer) over the mesh."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def shard_train_step(step_fn, mesh):
+    """jit the train step with state replicated and the batch sharded on
+    'data'; XLA inserts the psum over ICI for the gradient reduction."""
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
