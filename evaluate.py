@@ -1,0 +1,9 @@
+#!/usr/bin/env python
+"""Root entry point: delegates to mixgantts_tpu.cli.evaluate (drop-in CLI
+compatible with the reference's evaluate.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from mixgantts_tpu.cli.evaluate import cli
+
+if __name__ == "__main__":
+    cli()

@@ -75,9 +75,26 @@ class TacotronSTFT:
                            self.sampling_rate, self.mel_fmax)
 
     def get_mel_from_wav(self, audio):
-        """Single-utterance numpy helper (`audio/tools.py:8-15`)."""
-        mel, energy = self.mel_spectrogram(np.clip(audio, -1.0, 1.0))
-        return np.asarray(mel[0]), np.asarray(energy[0])
+        """Single-utterance numpy helper (`audio/tools.py:8-15`).
+
+        Pure numpy on purpose: offline preprocessing sees a new waveform
+        length per utterance, and a jitted kernel would recompile for every
+        one of them (hours over a full corpus).  The batched jax version
+        (`mel_spectrogram`) stays for on-device use with bucketed shapes."""
+        y = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+        n_fft, hop = self.filter_length, self.hop_length
+        pad = n_fft // 2
+        yp = np.pad(y, pad, mode="reflect")
+        n_frames = 1 + (len(yp) - n_fft) // hop
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)
+        win = hann_window(self.win_length, n_fft)
+        spec = np.fft.rfft(yp[idx] * win, axis=-1)
+        magnitude = np.abs(spec)                       # [F, n_fft//2+1]
+        basis = mel_filterbank(self.sampling_rate, n_fft,
+                               self.n_mel_channels, 0.0, self.mel_fmax)
+        mel = np.log(np.clip(magnitude @ basis.T, 1e-5, None)).T
+        energy = np.linalg.norm(magnitude, axis=-1)
+        return mel.astype(np.float32), energy.astype(np.float32)
 
     # --- inversion (Griffin-Lim) for the reference's inv_mel_spec path -----
 

@@ -1,0 +1,219 @@
+"""Training CLI/loop.
+
+Parity target: `train.py:22-279` in the reference — grouped sorted batches,
+per-mode train step, periodic console/log.txt/TensorBoard logging, sample
+synthesis, validation, checkpointing, per-epoch ExponentialLR decay for the
+GAN optimizers.  The step itself is one jitted XLA program (optionally
+sharded over a device mesh with --data_parallel).
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..checkpoint import restore_checkpoint, save_checkpoint
+from ..data.dataset import AcousticDataset
+from ..models.vocoder import get_vocoder
+from ..parallel import make_mesh, replicate_state, shard_batch, shard_train_step
+from ..train import create_train_state, make_train_step, make_eval_step
+from ..train.optim import fs2_lr_schedule
+from ..utils.logging import get_writer, log, loss_message
+from ..utils.synth import synth_one_sample
+from .common import (
+    build_discriminator, build_model, load_configs, model_batch_of,
+    param_count,
+)
+from .evaluate import evaluate
+
+
+def synthesize_sample(mode, model, state, batch, vocoder, model_config,
+                      preprocess_config, schedule):
+    """Run inference on the first batch item for TensorBoard panels."""
+    variables = {"params": state.g_params,
+                 "batch_stats": state.g_batch_stats}
+    kwargs = model_batch_of(batch)
+    kwargs["max_mel_len"] = batch["mels"].shape[1]
+    out = model.apply(variables, **kwargs, train=False,
+                      rngs={"diffusion": jax.random.PRNGKey(int(state.step))})
+    trace = None
+    if mode != "aux":
+        infer_kwargs = {k: v for k, v in kwargs.items()
+                        if k not in ("mels", "mel_lens", "p_targets",
+                                     "e_targets", "d_targets",
+                                     "attn_priors")}
+        trace_out = model.apply(
+            variables, **infer_kwargs, train=False, return_trace=True,
+            rngs={"diffusion": jax.random.PRNGKey(int(state.step) + 1)})
+        trace = trace_out.mel_pred
+    return synth_one_sample(mode, batch, out, trace, vocoder, model_config,
+                            preprocess_config, schedule)
+
+
+def main(args, configs):
+    preprocess_config, model_config, train_config = configs
+    mode = args.model
+
+    model, stats = build_model(mode, preprocess_config, model_config)
+    discriminator = build_discriminator(preprocess_config, model_config)
+
+    dataset = AcousticDataset(
+        "train.txt", mode, preprocess_config, model_config, train_config,
+        sort=True, drop_last=True)
+    batch_gen = dataset.batches(group_size=4, shuffle=True, seed=args.seed)
+
+    # find a representative batch for initialization
+    example = next(b for b in batch_gen if b is not None)
+    init_batch = model_batch_of(example)
+    init_batch["max_mel_len"] = example["mels"].shape[1]
+
+    state = create_train_state(
+        jax.random.PRNGKey(args.seed), model, discriminator, init_batch,
+        train_config, model_config, restore_step=args.restore_step)
+    if args.restore_step:
+        reset = (args.restore_step
+                 == train_config["step"]["total_step_aux"])
+        state = restore_checkpoint(
+            train_config["path"]["ckpt_path"], state, args.restore_step,
+            reset_optimizers=reset)
+
+    step_fn = make_train_step(mode, model, discriminator, model_config,
+                              train_config)
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        step_fn = shard_train_step(step_fn, mesh)
+        state = replicate_state(mesh, state)
+        put = lambda b: shard_batch(mesh, b)
+    else:
+        step_fn = jax.jit(step_fn)
+        put = lambda b: b
+    eval_fn = jax.jit(make_eval_step(mode, model, discriminator,
+                                     model_config, train_config))
+
+    vocoder = None
+    try:
+        vocoder = get_vocoder(
+            model_config,
+            num_mels=preprocess_config["preprocessing"]["mel"][
+                "n_mel_channels"])
+    except Exception as e:  # vocoder is only needed for logging panels
+        print(f"vocoder unavailable ({e}); logging without audio")
+
+    for p in train_config["path"].values():
+        os.makedirs(p, exist_ok=True)
+    train_log_path = os.path.join(train_config["path"]["log_path"], "train")
+    val_log_path = os.path.join(train_config["path"]["log_path"], "val")
+    os.makedirs(train_log_path, exist_ok=True)
+    os.makedirs(val_log_path, exist_ok=True)
+    train_logger = get_writer(train_log_path)
+    val_logger = get_writer(val_log_path)
+
+    print("Number of MixGAN-TTS Parameters     :",
+          param_count(state.g_params))
+    print("          JCUDiscriminator Parameters:",
+          param_count(state.d_params))
+
+    cfg_step = train_config["step"]
+    total_step = cfg_step[f"total_step_{mode}"]
+    gamma = train_config["optimizer"]["gamma"]
+    fs2_sched = fs2_lr_schedule(
+        model_config["transformer"]["encoder_hidden"],
+        train_config["optimizer_fs2"]["warm_up_step"],
+        train_config["optimizer_fs2"]["anneal_steps"],
+        train_config["optimizer_fs2"]["anneal_rate"])
+    sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
+
+    step = args.restore_step + 1
+    epoch = int(state.epoch)
+    last_log = time.time()
+    while True:
+        batch = next(batch_gen)
+        if batch is None:  # epoch boundary: ExponentialLR decay
+            epoch += 1
+            if mode != "aux":
+                state = state.replace(
+                    epoch=state.epoch + 1,
+                    lr_g=state.lr_g * gamma,
+                    lr_d=state.lr_d * gamma)
+            continue
+
+        state, metrics = step_fn(state, put(model_batch_of(batch)))
+
+        if step % cfg_step["log_step"] == 0:
+            metrics = jax.device_get(metrics)
+            msg = loss_message(step, total_step, metrics)
+            dt = time.time() - last_log
+            last_log = time.time()
+            print(f"{msg}  ({cfg_step['log_step'] / max(dt, 1e-9):.2f} it/s)")
+            with open(os.path.join(train_log_path, "log.txt"), "a") as f:
+                f.write(f"Step {step}/{total_step}, " + msg.split(", ", 1)[1]
+                        + "\n")
+            lr = (float(state.lr_g) if mode != "aux"
+                  else float(fs2_sched(step)))
+            log(train_logger, step, losses=metrics, lr=lr)
+
+        if step % cfg_step["synth_step"] == 0 and vocoder is not None:
+            figs, attn_fig, wav_rec, wav_pred, tag = synthesize_sample(
+                mode, model, jax.device_get(state), batch, vocoder,
+                model_config, preprocess_config, model.schedule)
+            log(train_logger, step, figs=figs, tag="Training")
+            log(train_logger, figs=attn_fig,
+                tag=f"Training_attn/step_{step}_{tag}")
+            log(train_logger, step, audio=wav_rec, sampling_rate=sr,
+                tag="Training/reconstructed")
+            log(train_logger, step, audio=wav_pred, sampling_rate=sr,
+                tag="Training/synthesized")
+
+        if step % cfg_step["val_step"] == 0:
+            message = evaluate(
+                mode, model, discriminator, jax.device_get(state), configs,
+                val_logger, vocoder, eval_fn)
+            with open(os.path.join(val_log_path, "log.txt"), "a") as f:
+                f.write(message + "\n")
+            print(message)
+
+        if step % cfg_step["save_step"] == 0:
+            path = save_checkpoint(train_config["path"]["ckpt_path"],
+                                   jax.device_get(state))
+            print(f"saved checkpoint: {path}")
+
+        if step >= total_step:
+            return
+        step += 1
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--path_tag", type=str, default="")
+    parser.add_argument("--model", type=str,
+                        choices=["naive", "aux", "shallow"], required=True)
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the batch over all visible devices")
+    return parser
+
+
+def cli():
+    args = build_argparser().parse_args()
+    configs = load_configs(args)
+    preprocess_config, model_config, train_config = configs
+    print("\n========================= Training Configuration =========================")
+    print(" ---> Type of Modeling:", args.model)
+    if model_config["multi_speaker"]:
+        print(" ---> Type of Speaker Embedder:",
+              preprocess_config["preprocessing"].get("speaker_embedder"))
+    print(" ---> Total Batch Size:",
+          int(train_config["optimizer"]["batch_size"]))
+    print(" ---> Path of ckpt:", train_config["path"]["ckpt_path"])
+    print(" ---> Path of log:", train_config["path"]["log_path"])
+    print(" ---> Path of result:", train_config["path"]["result_path"])
+    print("==========================================================================")
+    main(args, configs)
+
+
+if __name__ == "__main__":
+    cli()

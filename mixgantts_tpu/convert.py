@@ -1,0 +1,235 @@
+"""Reference-checkpoint conversion: PyTorch MixGAN-TTS `.pth.tar` G/D
+state_dicts -> flax parameter trees.
+
+Enables parity testing (BASELINE.md: mel MAE < 1e-3 vs the reference with
+converted weights) and lets users of the reference carry their trained
+checkpoints over.  Layout rules:
+- torch Conv1d [out, in, k]    -> flax [k, in, out]
+- torch Linear [out, in]       -> flax [in, out]
+- LayerNorm / Embedding        -> carried as-is
+- BatchNorm running stats      -> the `batch_stats` collection
+Name mapping follows the reference module tree (`model/*.py`,
+`transformer/*.py`).
+"""
+
+import numpy as np
+
+
+def _conv(sd, prefix):
+    out = {"kernel": np.transpose(np.asarray(sd[prefix + ".weight"]),
+                                  (2, 1, 0))}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _linear(sd, prefix):
+    out = {"kernel": np.asarray(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _wrapped_conv(sd, prefix):
+    return {"conv": _conv(sd, prefix + ".conv")}
+
+
+def _wrapped_linear(sd, prefix):
+    return {"linear": _linear(sd, prefix + ".linear")}
+
+
+def _ln(sd, prefix):
+    return {"gamma": np.asarray(sd[prefix + ".gamma"]),
+            "beta": np.asarray(sd[prefix + ".beta"])}
+
+
+def _torch_ln(sd, prefix):
+    return {"scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"])}
+
+
+def _step_mlp(sd, prefix):
+    return {"fc1": _wrapped_linear(sd, prefix + ".0"),
+            "fc2": _wrapped_linear(sd, prefix + ".2")}
+
+
+def _variance_predictor(sd, prefix):
+    return {
+        "conv_0": _wrapped_conv(sd, prefix + ".conv_layer.conv1d_1"),
+        "ln_0": _torch_ln(sd, prefix + ".conv_layer.layer_norm_1"),
+        "conv_1": _wrapped_conv(sd, prefix + ".conv_layer.conv1d_2"),
+        "ln_1": _torch_ln(sd, prefix + ".conv_layer.layer_norm_2"),
+        "proj": _linear(sd, prefix + ".linear_layer"),
+    }
+
+
+def _relative_fft(sd, prefix, n_layers):
+    out = {}
+    for i in range(n_layers):
+        out[f"attn_{i}"] = {
+            "conv_q": _conv_block(sd, f"{prefix}.attn_layers.{i}.conv_q"),
+            "conv_k": _conv_block(sd, f"{prefix}.attn_layers.{i}.conv_k"),
+            "conv_v": _conv_block(sd, f"{prefix}.attn_layers.{i}.conv_v"),
+            "conv_o": _conv_block(sd, f"{prefix}.attn_layers.{i}.conv_o"),
+            "emb_rel_k": np.asarray(
+                sd[f"{prefix}.attn_layers.{i}.emb_rel_k"]),
+            "emb_rel_v": np.asarray(
+                sd[f"{prefix}.attn_layers.{i}.emb_rel_v"]),
+        }
+        out[f"norm1_{i}"] = _ln(sd, f"{prefix}.norm_layers_1.{i}")
+        out[f"ffn_{i}"] = {"conv": _conv_block(
+            sd, f"{prefix}.ffn_layers.{i}.conv")}
+        out[f"norm2_{i}"] = _ln(sd, f"{prefix}.norm_layers_2.{i}")
+    return out
+
+
+def _conv_block(sd, prefix):
+    # bare torch Conv1d (not ConvNorm-wrapped) -> our Conv1d{conv: ...}
+    return {"conv": _conv(sd, prefix)}
+
+
+def _w2p(sd, prefix):
+    return {
+        "w_qs": _wrapped_linear(sd, prefix + ".w_qs"),
+        "w_ks": _wrapped_linear(sd, prefix + ".w_ks"),
+        "w_vs": _wrapped_linear(sd, prefix + ".w_vs"),
+        "fc": _wrapped_linear(sd, prefix + ".fc"),
+    }
+
+
+def convert_linguistic_encoder(sd, n_layers=4):
+    p = "linguistic_encoder"
+    out = {
+        "src_emb": {"embedding": np.asarray(sd[f"{p}.src_emb.weight"])},
+        "q_position_enc": np.asarray(sd[f"{p}.q_position_enc"])[0],
+        "kv_position_enc": np.asarray(sd[f"{p}.kv_position_enc"])[0],
+        "phoneme_encoder": _relative_fft(sd, f"{p}.phoneme_encoder",
+                                         n_layers),
+        "word_encoder": _relative_fft(sd, f"{p}.word_encoder", n_layers),
+        "duration_predictor": _variance_predictor(
+            sd, f"{p}.duration_predictor"),
+        "pitch_predictor": _variance_predictor(sd, f"{p}.pitch_predictor"),
+        "energy_predictor": _variance_predictor(sd, f"{p}.energy_predictor"),
+        "pitch_embedding": {"embedding": np.asarray(
+            sd[f"{p}.pitch_embedding.weight"])},
+        "energy_embedding": {"embedding": np.asarray(
+            sd[f"{p}.energy_embedding.weight"])},
+        "w2p_attn": _w2p(sd, f"{p}.w2p_attn"),
+    }
+    return out
+
+
+def convert_decoder(sd, n_layers=6):
+    out = {}
+    for i in range(n_layers):
+        p = f"decoder.layer_stack.{i}"
+        out[f"layer_{i}"] = {
+            "slf_attn": {
+                "w_qs": _linear(sd, f"{p}.slf_attn.w_qs"),
+                "w_ks": _linear(sd, f"{p}.slf_attn.w_ks"),
+                "w_vs": _linear(sd, f"{p}.slf_attn.w_vs"),
+                "fc": _linear(sd, f"{p}.slf_attn.fc"),
+                "layer_norm": _torch_ln(sd, f"{p}.slf_attn.layer_norm"),
+            },
+            "pos_ffn": {
+                "w_1": _conv_block(sd, f"{p}.pos_ffn.w_1"),
+                "w_2": _conv_block(sd, f"{p}.pos_ffn.w_2"),
+                "layer_norm": _torch_ln(sd, f"{p}.pos_ffn.layer_norm"),
+            },
+        }
+    return out
+
+
+def convert_postnet(sd, n_convs=5):
+    params, stats = {}, {}
+    for i in range(n_convs):
+        p = f"postnet.convolutions.{i}"
+        params[f"conv_{i}"] = {"conv": _conv(sd, f"{p}.0.conv")}
+        params[f"bn_{i}"] = {"scale": np.asarray(sd[f"{p}.1.weight"]),
+                             "bias": np.asarray(sd[f"{p}.1.bias"])}
+        stats[f"bn_{i}"] = {
+            "mean": np.asarray(sd[f"{p}.1.running_mean"]),
+            "var": np.asarray(sd[f"{p}.1.running_var"])}
+    return params, stats
+
+
+def convert_denoiser(sd, n_layers=20, multi_speaker=False):
+    p = "diffusion.denoise_fn"
+    out = {
+        "input_projection": {"conv": _conv(
+            sd, f"{p}.input_projection.0.conv")},
+        "mlp": _step_mlp(sd, f"{p}.mlp"),
+        "skip_projection": {"conv": _conv(sd, f"{p}.skip_projection.conv")},
+        "output_projection": {"conv": _conv(
+            sd, f"{p}.output_projection.conv")},
+    }
+    for i in range(n_layers):
+        rp = f"{p}.residual_layers.{i}"
+        block = {
+            "conv_layer": {"conv": _conv(sd, f"{rp}.conv_layer.conv")},
+            "diffusion_projection": _wrapped_linear(
+                sd, f"{rp}.diffusion_projection"),
+            "conditioner_projection": {"conv": _conv(
+                sd, f"{rp}.conditioner_projection.conv")},
+            "output_projection": {"conv": _conv(
+                sd, f"{rp}.output_projection.conv")},
+        }
+        if multi_speaker and f"{rp}.speaker_projection.linear.weight" in sd:
+            block["speaker_projection"] = _wrapped_linear(
+                sd, f"{rp}.speaker_projection")
+        out[f"res_{i}"] = block
+    return out
+
+
+def convert_generator(sd, mode, encoder_layers=4, decoder_layers=6,
+                      denoiser_layers=20, multi_speaker=False):
+    """Full MixGANTTS G state_dict -> (params, batch_stats)."""
+    params = {
+        "linguistic_encoder": convert_linguistic_encoder(sd, encoder_layers),
+        "denoiser": convert_denoiser(sd, denoiser_layers, multi_speaker),
+    }
+    batch_stats = {}
+    if mode in ("aux", "shallow"):
+        params["decoder"] = convert_decoder(sd, decoder_layers)
+        params["mel_linear"] = _linear(sd, "mel_linear")
+        postnet_params, postnet_stats = convert_postnet(sd)
+        params["postnet"] = postnet_params
+        batch_stats["postnet"] = postnet_stats
+    if multi_speaker:
+        if "speaker_emb.weight" in sd and sd["speaker_emb.weight"].ndim == 2 \
+                and "speaker_emb.bias" not in sd:
+            params["speaker_emb"] = {"embedding": np.asarray(
+                sd["speaker_emb.weight"])}
+        elif "speaker_emb.weight" in sd:
+            params["speaker_proj"] = _linear(sd, "speaker_emb")
+    return params, batch_stats
+
+
+def convert_discriminator(sd, n_layer=3, n_uncond=2, n_cond=2,
+                          multi_speaker=False):
+    out = {
+        "input_projection": _wrapped_linear(sd, "input_projection"),
+        "mlp": _step_mlp(sd, "mlp"),
+    }
+    for i in range(n_layer):
+        out[f"conv_{i}"] = {"conv": _conv(sd, f"conv_block.{i}.conv")}
+    for j in range(n_cond):
+        out[f"cond_conv_{n_layer + j}"] = {"conv": _conv(
+            sd, f"cond_conv_block.{j}.conv")}
+    for j in range(n_uncond):
+        out[f"uncond_conv_{n_layer + j}"] = {"conv": _conv(
+            sd, f"uncond_conv_block.{j}.conv")}
+    if multi_speaker and "spk_mlp.0.linear.weight" in sd:
+        out["spk_mlp"] = _wrapped_linear(sd, "spk_mlp.0")
+    return out
+
+
+def load_reference_checkpoint(path):
+    """Read a reference `.pth.tar` -> dict of numpy arrays per key."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    for part in ("G", "D"):
+        if part in ckpt:
+            out[part] = {k: v.numpy() for k, v in ckpt[part].items()}
+    return out

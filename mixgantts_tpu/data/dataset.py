@@ -145,11 +145,15 @@ class AcousticDataset:
         text length, yields group_size real batches."""
         rng = np.random.RandomState(seed)
         epoch = 0
+        chunk = self.batch_size * group_size
+        # small datasets: shrink the group so at least one batch is emitted
+        if len(self) < chunk:
+            chunk = max((len(self) // self.batch_size) * self.batch_size,
+                        min(len(self), self.batch_size))
         while epochs is None or epoch < epochs:
             order = np.arange(len(self))
             if shuffle:
                 rng.shuffle(order)
-            chunk = self.batch_size * group_size
             for i in range(0, len(order) - chunk + 1, chunk):
                 data = [self[j] for j in order[i:i + chunk]]
                 yield from self.collate(data)

@@ -1,0 +1,146 @@
+"""Inference text frontend: grapheme-to-phoneme with word boundaries.
+
+Parity targets: `synthesize.py:25-103` in the reference — lexicon lookup
+with a G2P fallback for English, pinyin (TONE3) lookup for Mandarin,
+punctuation -> "sp", per-word phone counts (word_boundaries) and optional
+word subdivision at max_phoneme_num.
+
+The reference's external `g2p_en` / `pypinyin` packages are not available
+here, so:
+- English OOV words fall back to an in-repo rule-based letter-to-sound
+  (covers the common digraphs; anything unpronounceable becomes "spn"),
+- Mandarin input is accepted as TONE3 pinyin tokens directly (e.g.
+  "ni3 hao3"); raw-hanzi conversion requires a pinyin lexicon of characters
+  which ships with AISHELL3-style corpora.
+"""
+
+import os
+import re
+from string import punctuation
+
+import numpy as np
+
+from .text import text_to_sequence
+from .utils.tools import word_level_subdivision
+
+_lexicon_cache = {}
+
+
+def read_lexicon(lex_path):
+    """word -> phone list (first pronunciation wins)."""
+    lex_path = os.path.abspath(lex_path)
+    if lex_path in _lexicon_cache:
+        return _lexicon_cache[lex_path]
+    lexicon = {}
+    with open(lex_path, encoding="utf-8") as f:
+        for line in f:
+            parts = re.split(r"\s+", line.strip("\n"))
+            if not parts or not parts[0]:
+                continue
+            word, phones = parts[0], parts[1:]
+            if word.lower() not in lexicon:
+                lexicon[word.lower()] = phones
+    _lexicon_cache[lex_path] = lexicon
+    return lexicon
+
+
+# --- rule-based English letter-to-sound fallback -----------------------------
+
+_LTS_DIGRAPHS = [
+    ("tion", ["SH", "AH0", "N"]), ("ough", ["AO1"]), ("augh", ["AO1"]),
+    ("eigh", ["EY1"]), ("tch", ["CH"]), ("sch", ["S", "K"]),
+    ("igh", ["AY1"]), ("ing", ["IH0", "NG"]), ("ck", ["K"]),
+    ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
+    ("wh", ["W"]), ("qu", ["K", "W"]), ("ng", ["NG"]), ("ee", ["IY1"]),
+    ("oo", ["UW1"]), ("ea", ["IY1"]), ("ou", ["AW1"]), ("ai", ["EY1"]),
+    ("ay", ["EY1"]), ("oi", ["OY1"]), ("oy", ["OY1"]), ("au", ["AO1"]),
+    ("aw", ["AO1"]), ("ar", ["AA1", "R"]), ("er", ["ER0"]),
+    ("ir", ["ER1"]), ("or", ["AO1", "R"]), ("ur", ["ER1"]),
+]
+_LTS_SINGLE = {
+    "a": ["AE1"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH1"],
+    "f": ["F"], "g": ["G"], "h": ["HH"], "i": ["IH1"], "j": ["JH"],
+    "k": ["K"], "l": ["L"], "m": ["M"], "n": ["N"], "o": ["AA1"],
+    "p": ["P"], "r": ["R"], "s": ["S"], "t": ["T"], "u": ["AH1"],
+    "v": ["V"], "w": ["W"], "x": ["K", "S"], "y": ["Y"], "z": ["Z"],
+}
+
+
+def letter_to_sound(word):
+    """Greedy digraph-first rule G2P for OOV English words."""
+    word = re.sub(r"[^a-z]", "", word.lower())
+    phones = []
+    i = 0
+    while i < len(word):
+        for pat, ph in _LTS_DIGRAPHS:
+            if word.startswith(pat, i):
+                phones += ph
+                i += len(pat)
+                break
+        else:
+            if word[i] in _LTS_SINGLE:
+                phones += _LTS_SINGLE[word[i]]
+            i += 1
+    return phones if phones else ["spn"]
+
+
+def preprocess_english(text, preprocess_config, verbose=True):
+    text = text.rstrip(punctuation)
+    lexicon = read_lexicon(preprocess_config["path"]["lexicon_path"]) \
+        if os.path.isfile(preprocess_config["path"]["lexicon_path"]) else {}
+
+    phones, word_boundaries = [], []
+    for w in re.split(r"([,;.\-\?\!\s+])", text):
+        if w.lower() in lexicon:
+            phone_list = lexicon[w.lower()]
+        elif re.search(r"[A-Za-z]", w):
+            phone_list = letter_to_sound(w)
+        else:
+            phone_list = list(w.strip())
+        if phone_list:
+            phones += phone_list
+            word_boundaries.append(len(phone_list))
+    phone_str = "{" + "}{".join(phones) + "}"
+    phone_str = re.sub(r"\{[^\w\s]?\}", "{sp}", phone_str)
+    phone_str = phone_str.replace("}{", " ")
+
+    if preprocess_config["preprocessing"]["text"]["sub_divide_word"]:
+        word_boundaries = word_level_subdivision(
+            word_boundaries,
+            preprocess_config["preprocessing"]["text"]["max_phoneme_num"])
+    if verbose:
+        print(f"Raw Text Sequence: {text}")
+        print(f"Phoneme Sequence: {phone_str}")
+    sequence = np.array(text_to_sequence(
+        phone_str, preprocess_config["preprocessing"]["text"]["text_cleaners"]))
+    return sequence, np.array(word_boundaries)
+
+
+_PINYIN_RE = re.compile(r"^[a-z]+[1-5]$")
+
+
+def preprocess_mandarin(text, preprocess_config, verbose=True):
+    lexicon = read_lexicon(preprocess_config["path"]["lexicon_path"])
+
+    tokens = text.strip().split()
+    if not all(_PINYIN_RE.match(t) or not t for t in tokens):
+        raise ValueError(
+            "Mandarin input must be TONE3 pinyin tokens (e.g. 'ni3 hao3'); "
+            "raw-hanzi conversion needs an external pinyin converter.")
+    phones, word_boundaries = [], []
+    for p in tokens:
+        phone_list = lexicon.get(p, ["sp"])
+        if phone_list:
+            phones += phone_list
+            word_boundaries.append(len(phone_list))
+    phone_str = "{" + " ".join(phones) + "}"
+    if preprocess_config["preprocessing"]["text"]["sub_divide_word"]:
+        word_boundaries = word_level_subdivision(
+            word_boundaries,
+            preprocess_config["preprocessing"]["text"]["max_phoneme_num"])
+    if verbose:
+        print(f"Raw Text Sequence: {text}")
+        print(f"Phoneme Sequence: {phone_str}")
+    sequence = np.array(text_to_sequence(
+        phone_str, preprocess_config["preprocessing"]["text"]["text_cleaners"]))
+    return sequence, np.array(word_boundaries)

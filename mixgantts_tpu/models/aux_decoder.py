@@ -42,7 +42,7 @@ class MultiHeadAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
         out = nn.Dense(C, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return nn.LayerNorm(name="layer_norm")(out + residual)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out + residual)
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -60,7 +60,7 @@ class PositionwiseFeedForward(nn.Module):
         y = jax.nn.relu(y)
         y = Conv1d(x.shape[-1], 1, name="w_2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(name="layer_norm")(y + residual)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(y + residual)
 
 
 class FFTBlock(nn.Module):

@@ -74,6 +74,7 @@ class Conv1d(nn.Module):
             padding=[(pad, pad)],
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
+            name="conv",
         )(x)
 
 
@@ -91,6 +92,7 @@ class LinearNorm(nn.Module):
             use_bias=self.use_bias,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            name="linear",
         )(x)
 
 
@@ -117,9 +119,9 @@ class StepEmbeddingMLP(nn.Module):
     @nn.compact
     def __call__(self, t):
         emb = DiffusionEmbedding(self.channels)(t)
-        emb = LinearNorm(self.channels * 4)(emb)
+        emb = LinearNorm(self.channels * 4, name="fc1")(emb)
         emb = mish(emb)
-        return LinearNorm(self.out_channels)(emb)
+        return LinearNorm(self.out_channels, name="fc2")(emb)
 
 
 class FFN(nn.Module):
@@ -134,7 +136,7 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train=False):
-        x = Conv1d(self.features, self.kernel_size)(x * mask)
+        x = Conv1d(self.features, self.kernel_size, name="conv")(x * mask)
         if self.activation == "gelu":
             x = x * jax.nn.sigmoid(1.702 * x)
         else:
@@ -180,9 +182,10 @@ class RelativeSelfAttention(nn.Module):
         # x: [B, L, C]; attn_mask: [B, 1, L, L] bool True=valid
         B, L, C = x.shape
         k_channels = C // self.n_heads
-        q = Conv1d(C, 1, kernel_init=nn.initializers.xavier_uniform())(x)
-        k = Conv1d(C, 1, kernel_init=nn.initializers.xavier_uniform())(x)
-        v = Conv1d(C, 1, kernel_init=nn.initializers.xavier_uniform())(x)
+        xavier = nn.initializers.xavier_uniform()
+        q = Conv1d(C, 1, kernel_init=xavier, name="conv_q")(x)
+        k = Conv1d(C, 1, kernel_init=xavier, name="conv_k")(x)
+        v = Conv1d(C, 1, kernel_init=xavier, name="conv_v")(x)
 
         def split_heads(t):
             return t.reshape(B, L, self.n_heads, k_channels).transpose(0, 2, 1, 3)
@@ -217,7 +220,7 @@ class RelativeSelfAttention(nn.Module):
                                preferred_element_type=jnp.float32)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
-        return Conv1d(self.channels, 1)(out)
+        return Conv1d(self.channels, 1, name="conv_o")(out)
 
     def _window_to_length(self, emb, length):
         """Pad/slice the [1, 2w+1, d] table to [1, 2*length-1, d]."""
@@ -318,7 +321,7 @@ class VariancePredictor(nn.Module):
         for i in range(2):
             x = Conv1d(self.filter_size, self.kernel_size, name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         out = nn.Dense(1, name="proj")(x)[..., 0]
         if mask is not None:

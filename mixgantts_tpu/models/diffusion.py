@@ -106,13 +106,14 @@ class DiffusionSchedule:
     # --- inference ----------------------------------------------------------
 
     def sampling(self, denoise_fn, rng, cond, spk_emb, noise=None,
-                 clip_denoised=True):
+                 clip_denoised=True, return_trace=False):
         """Reverse process from pure noise (or a provided start) to x0.
 
         denoise_fn(x_t, t, cond, spk_emb) -> x0 prediction (normalized).
         The loop over T <= 4 steps is a static Python loop, fully unrolled
         and fused by XLA (`model/diffusion.py:155-165`).
-        Returns the final normalized x0 ([B, T, n_mels]).
+        Returns the final normalized x0 ([B, T, n_mels]); with
+        return_trace=True, the whole trajectory [T+1, B, T_mel, n_mels].
         """
         B, T_mel, _ = cond.shape
         n_mels = len(self.spec_min)
@@ -121,6 +122,7 @@ class DiffusionSchedule:
             x = jax.random.normal(sub, (B, T_mel, n_mels), dtype=cond.dtype)
         else:
             x = noise
+        trace = [x]
         for i in reversed(range(self.num_timesteps)):
             t = jnp.full((B,), i, dtype=jnp.int32)
             x0_pred = denoise_fn(x, t, cond, spk_emb)
@@ -129,6 +131,9 @@ class DiffusionSchedule:
             rng, sub = jax.random.split(rng)
             step_noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
             x = self.q_posterior_sample(x0_pred, x, t, step_noise)
+            trace.append(x)
+        if return_trace:
+            return jnp.stack(trace, axis=0)
         return x
 
     # --- aux-mode supervision ----------------------------------------------

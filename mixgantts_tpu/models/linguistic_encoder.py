@@ -130,7 +130,11 @@ class LinguisticEncoder(nn.Module):
         energy_emb = nn.Embed(self.n_bins, H, name="energy_embedding")(
             jnp.digitize(energy_val, energy_bins))
         enc_p = enc_p + energy_emb
-        enc_p = enc_p * pmask_f
+        # NOTE: no re-masking here — the reference leaves the pitch/energy
+        # embeddings in place at padded positions (`linguistic_encoder.py:
+        # 263-283`), and the k=3 predictor convs read them at boundaries;
+        # masking would change predictions at valid positions near the edge.
+        # Word pooling is safe: padded positions map past the last segment.
 
         # --- word encoding ---------------------------------------------------
         src_w_seq = word_level_pooling(enc_p, word_boundary, W, reduce="mean")
@@ -165,6 +169,8 @@ class LinguisticEncoder(nn.Module):
         x, mel_len = length_regulate(enc_w, dur_w, max_mel_len)
         mel_len = jnp.minimum(mel_len, max_mel_len)
         if mel_mask is None:
+            # covers both inference and teacher-forced synthesis (duration
+            # targets given but no mels)
             mel_mask = sequence_mask(mel_len, max_mel_len)
 
         # --- word-to-phoneme attention ---------------------------------------

@@ -150,6 +150,7 @@ class MixGANTTS(nn.Module):
         e_control=1.0,
         d_control=1.0,
         train=False,
+        return_trace=False,  # inference only: mel_pred = full [S+1,...] trace
     ):
         shallow = self.mode == "shallow"
         B, P = texts.shape
@@ -247,8 +248,10 @@ class MixGANTTS(nn.Module):
                     start = sched.diffuse(coarse_in, t_start, noise0) * maskf
                 else:
                     start = None
-                x0 = sched.sampling(denoise_fn, rng, cond, spk, noise=start)
-                mel_pred = sched.denorm_spec(x0) * maskf
+                x0 = sched.sampling(denoise_fn, rng, cond, spk, noise=start,
+                                    return_trace=return_trace)
+                mel_pred = sched.denorm_spec(x0) * (
+                    maskf[None] if return_trace else maskf)
             else:
                 # ---- training: one random step -----------------------------
                 rng = self.make_rng("diffusion")

@@ -67,9 +67,11 @@ def _load_torch_state_dict(path):
     return {k: v.numpy() for k, v in ckpt.items()}
 
 
-def get_vocoder(model_config, ckpt_dir=None):
+def get_vocoder(model_config, ckpt_dir=None, num_mels=None):
     """Build the configured vocoder; loads converted weights if a
-    checkpoint for the configured speaker exists."""
+    checkpoint for the configured speaker exists.  `num_mels` overrides the
+    input channel count when no vocoder config.json is present (tests /
+    non-80-bin corpora with a random-init generator)."""
     name = model_config["vocoder"]["model"]
     speaker = model_config["vocoder"]["speaker"]
     if ckpt_dir is None:
@@ -81,6 +83,8 @@ def get_vocoder(model_config, ckpt_dir=None):
         if os.path.isfile(cfg_path):
             with open(cfg_path) as f:
                 config.update(json.load(f))
+        elif num_mels is not None:
+            config["num_mels"] = num_mels
         module = HiFiGANGenerator.from_config(config)
         ckpt_path = os.path.join(ckpt_dir, f"generator_{speaker}.pth.tar")
         if os.path.isfile(ckpt_path):

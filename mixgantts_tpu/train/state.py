@@ -38,8 +38,14 @@ def create_train_state(rng, model, discriminator, example_batch, train_config,
     g_params = g_vars["params"]
     g_batch_stats = g_vars.get("batch_stats", {})
 
-    B, T = example_batch["mels"].shape[:2]
-    n_mels = example_batch["mels"].shape[-1]
+    mels = example_batch.get("mels")
+    if mels is not None:
+        B, T = mels.shape[:2]
+        n_mels = mels.shape[-1]
+    else:  # inference-time init (synthesize CLI restores into this state)
+        B = example_batch["texts"].shape[0]
+        T = int(example_batch.get("max_mel_len", 64))
+        n_mels = len(model.schedule.spec_min)
     dummy_x = jnp.zeros((B, T, n_mels))
     dummy_spk = (jnp.zeros((B, model.hidden)) if model.multi_speaker else None)
     d_params = discriminator.init(

@@ -1,0 +1,198 @@
+"""CLI-level integration: preprocess -> train a few steps (with checkpoint
+save/restore) -> evaluate -> synthesize single/batch on a synthetic corpus."""
+
+import copy
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import yaml
+
+from test_data_pipeline import (
+    make_corpus, PREPROCESS_CONFIG, SR, HOP, N_FFT,
+)
+
+TINY_MODEL_YAML = {
+    "transformer": {
+        "encoder_layer": 1, "encoder_head": 2, "encoder_hidden": 32,
+        "decoder_layer": 1, "decoder_head": 2, "decoder_hidden": 32,
+        "conv_filter_size": 64, "conv_kernel_size": 3,
+        "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+        "encoder_window_size": 4, "ffn_padding": "SAME", "ffn_act": "gelu",
+    },
+    "denoiser": {
+        "denoiser_hidden": 32, "denoiser_dropout": 0.2,
+        "residual_layers": 2, "residual_channels": 16,
+        "noise_schedule_naive": "vpsde", "timesteps": 2,
+        "shallow_timesteps": 1, "min_beta": 0.1, "max_beta": 40,
+        "s": 0.008, "keep_bins": 20,
+    },
+    "discriminator": {
+        "n_layer": 3, "n_uncond_layer": 2, "n_cond_layer": 2,
+        "n_channels": [8, 16, 32, 16, 1], "kernel_sizes": [3, 5, 5, 5, 3],
+        "strides": [1, 2, 2, 1, 1],
+    },
+    "variance_predictor": {"filter_size": 16, "kernel_size": 3,
+                           "dropout": 0.5},
+    "variance_embedding": {"pitch_quantization": "linear",
+                           "energy_quantization": "linear", "n_bins": 16},
+    "multi_speaker": False,
+    "external_speaker_dim": 512,
+    "max_seq_len": 256,
+    "vocoder": {"model": "HiFi-GAN", "speaker": "LJSpeech"},
+    "tpu": {"compute_dtype": "float32",
+            "length_buckets": [64, 128, 256], "phone_buckets": [8, 16, 32]},
+}
+
+TINY_TRAIN_YAML = {
+    "path": {},
+    "optimizer": {
+        "batch_size": 2, "batch_size_shallow": 2, "betas": [0.5, 0.9],
+        "gamma": 0.999, "grad_clip_thresh": 1, "grad_acc_step": 1,
+        "init_lr_G": 0.0001, "init_lr_D": 0.0002,
+    },
+    "optimizer_fs2": {
+        "betas": [0.9, 0.98], "eps": 1e-9, "weight_decay": 0.0,
+        "warm_up_step": 4, "anneal_steps": [100], "anneal_rate": 0.3,
+    },
+    "loss": {
+        "adv_loss_mode": "lsgan", "noise_loss": "l1", "dur_loss": "mse",
+        "pitch_loss": "l1", "lambda_d": 0.1, "lambda_p": 0.1,
+        "lambda_e": 0.1, "lambda_fm": 10.0, "lambda_fm_shallow": 0.001,
+    },
+    "step": {
+        "total_step_aux": 4, "total_step_naive": 4, "total_step_shallow": 4,
+        "log_step": 2, "synth_step": 1000, "val_step": 1000, "save_step": 2,
+    },
+    "aligner": {
+        "helper_type": "dga", "ctc_step": 0, "ctc_weight_start": 1.0,
+        "ctc_weight_end": 1.0, "guided_sigma": 0.4, "guided_lambda": 1.0,
+        "guided_weight": 1.0,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_ws"))
+    make_corpus(root, n_utts=6)
+    pre_cfg = copy.deepcopy(PREPROCESS_CONFIG)
+    pre_cfg["dataset"] = "TestCorpus"
+    pre_cfg["path"] = {
+        "corpus_path": root,
+        "lexicon_path": os.path.join(root, "lexicon.txt"),
+        "raw_path": os.path.join(root, "raw_data"),
+        "preprocessed_path": os.path.join(root, "preprocessed"),
+    }
+    with open(pre_cfg["path"]["lexicon_path"], "w") as f:
+        f.write("hello HH AH0 L OW1\nworld W ER1 L D\n")
+
+    train_cfg = copy.deepcopy(TINY_TRAIN_YAML)
+    train_cfg["path"] = {
+        "ckpt_path": os.path.join(root, "output/ckpt/TestCorpus"),
+        "log_path": os.path.join(root, "output/log/TestCorpus"),
+        "result_path": os.path.join(root, "output/result/TestCorpus"),
+    }
+
+    cfg_dir = os.path.join(root, "config", "TestCorpus")
+    os.makedirs(cfg_dir, exist_ok=True)
+    for name, cfg in [("preprocess.yaml", pre_cfg),
+                      ("model.yaml", TINY_MODEL_YAML),
+                      ("train.yaml", train_cfg)]:
+        with open(os.path.join(cfg_dir, name), "w") as f:
+            yaml.dump(cfg, f)
+
+    from mixgantts_tpu.data.preprocessor import Preprocessor
+    Preprocessor(pre_cfg, TINY_MODEL_YAML, train_cfg).build_from_path()
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    yield root
+    os.chdir(cwd)
+
+
+def _args(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def test_train_cli_naive_and_restore(workspace):
+    from mixgantts_tpu.cli.common import load_configs
+    from mixgantts_tpu.cli.train import main
+
+    args = _args(model="naive", dataset="TestCorpus", restore_step=0,
+                 path_tag="", seed=0, data_parallel=False)
+    configs = load_configs(args)
+    main(args, configs)
+    ckpt_dir = configs[2]["path"]["ckpt_path"]
+    assert os.path.isdir(os.path.join(ckpt_dir, "4"))
+    assert os.path.isfile(os.path.join(
+        configs[2]["path"]["log_path"], "train", "log.txt"))
+
+    # restore and continue to the same total step (no-op loop, but exercises
+    # checkpoint restore end-to-end)
+    args2 = _args(model="naive", dataset="TestCorpus", restore_step=4,
+                  path_tag="", seed=0, data_parallel=False)
+    from mixgantts_tpu.cli.common import load_configs as lc2
+    configs2 = lc2(args2)
+    main(args2, configs2)
+
+
+def test_evaluate_cli(workspace):
+    import subprocess
+    # module-level evaluate on fresh state
+    from mixgantts_tpu.cli.common import (
+        load_configs, build_model, build_discriminator, model_batch_of)
+    from mixgantts_tpu.cli.evaluate import evaluate
+    from mixgantts_tpu.data.dataset import AcousticDataset
+    from mixgantts_tpu.train import create_train_state
+    import jax
+
+    args = _args(model="naive", dataset="TestCorpus", restore_step=0,
+                 path_tag="")
+    configs = load_configs(args)
+    pre, mc, tc = configs
+    model, _ = build_model("naive", pre, mc)
+    disc = build_discriminator(pre, mc)
+    ds = AcousticDataset("val.txt", "naive", pre, mc, tc)
+    example = next(b for b in ds.batches(group_size=1, epochs=1)
+                   if b is not None)
+    init = model_batch_of(example)
+    init["max_mel_len"] = example["mels"].shape[1]
+    state = create_train_state(jax.random.PRNGKey(0), model, disc, init,
+                               tc, mc)
+    msg = evaluate("naive", model, disc, state, configs, max_batches=1)
+    assert "Total Loss" in msg
+
+
+def test_synthesize_single_cli(workspace, monkeypatch):
+    from mixgantts_tpu.cli import synthesize as syn
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--restore_step", "4", "--model", "naive",
+         "--mode", "single", "--text", "hello world",
+         "--dataset", "TestCorpus"])
+    syn.cli()
+    result_dir = os.path.join(
+        workspace, "output/result/TestCorpus_naive", "4")
+    files = os.listdir(result_dir)
+    assert any(f.endswith(".wav") for f in files)
+    assert any(f.endswith(".png") for f in files)
+
+
+def test_synthesize_batch_teacher_forced(workspace, monkeypatch):
+    from mixgantts_tpu.cli import synthesize as syn
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--restore_step", "4", "--model", "naive",
+         "--mode", "batch", "--teacher_forced", "--dataset", "TestCorpus"])
+    syn.cli()
+    result_dir = os.path.join(
+        workspace, "output/result/TestCorpus_naive", "4")
+    wavs = [f for f in os.listdir(result_dir)
+            if f.endswith("_teacher_forced.wav")]
+    assert len(wavs) >= 1

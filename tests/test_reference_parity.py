@@ -1,0 +1,339 @@
+"""Numerical parity against the actual PyTorch reference implementation.
+
+The reference repo is importable with its missing audio deps stubbed out
+(librosa/pyworld/parselmouth/pycwt/tgt/unidecode/inflect are only used at
+preprocess time).  We random-init the reference modules, convert their
+weights with mixgantts_tpu.convert, and assert our flax modules reproduce
+their forward outputs — the BASELINE.md "mel MAE < 1e-3 with converted
+weights" requirement, verified module by module on the deterministic paths
+(linguistic encoder, denoiser, decoder + postnet, discriminator).
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_modules(tmp_path_factory):
+    # stub the audio/preprocess-only deps the reference imports at top level
+    _stub("librosa", load=None, filters=types.SimpleNamespace(mel=None))
+    _stub("librosa.util", pad_center=None, tiny=None)
+    _stub("librosa.filters", mel=None)
+    _stub("parselmouth")
+    _stub("pyworld", dio=None, stonemask=None)
+    _stub("pycwt", wavelet=types.SimpleNamespace())
+    _stub("pycwt.wavelet")
+    _stub("tgt", io=types.SimpleNamespace(read_textgrid=None))
+    _stub("unidecode", unidecode=lambda s: s)
+    _stub("python_speech_features", fbank=None)
+
+    class _Anything(types.ModuleType):
+        def __getattr__(self, name):
+            return type(name, (), {})
+
+    for name in ("tensorflow", "tensorflow.keras",
+                 "tensorflow.keras.backend", "tensorflow.keras.layers",
+                 "tensorflow.keras.models", "tensorflow.keras.optimizers",
+                 "tensorflow.keras.regularizers", "dill", "natsort"):
+        sys.modules.setdefault(name, _Anything(name))
+    sys.modules["tensorflow"].keras = sys.modules["tensorflow.keras"]
+    sys.modules["tensorflow.keras"].layers = \
+        sys.modules["tensorflow.keras.layers"]
+    sys.modules["tensorflow.keras"].regularizers = \
+        sys.modules["tensorflow.keras.regularizers"]
+    sys.modules["tensorflow.keras"].backend = \
+        sys.modules["tensorflow.keras.backend"]
+
+    class _FakeInflect:
+        def number_to_words(self, *a, **k):
+            return "zero"
+
+    _stub("inflect", engine=lambda: _FakeInflect())
+    sys.path.insert(0, REF)
+    # make sure we import the reference packages, not anything local
+    for m in list(sys.modules):
+        if m in ("text", "model", "utils", "transformer", "audio") or \
+                m.startswith(("text.", "model.", "utils.", "transformer.",
+                              "audio.")):
+            del sys.modules[m]
+    import model.linguistic_encoder as ref_le
+    import model.modules as ref_modules_py
+    import model.mixgantts as ref_mix
+    import transformer as ref_transformer
+    yield types.SimpleNamespace(
+        le=ref_le, modules=ref_modules_py, mix=ref_mix,
+        transformer=ref_transformer)
+    sys.path.remove(REF)
+
+
+def make_configs(tmp_path):
+    stats = {
+        "pitch": [-2.0, 9.0, 200.0, 50.0],
+        "energy": [-1.5, 8.0, 30.0, 20.0],
+        "spec_min": [-12.0] * 16,
+        "spec_max": [2.0] * 16,
+        "max_seq_len": 64,
+    }
+    pp_dir = str(tmp_path)
+    with open(os.path.join(pp_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    preprocess_config = {
+        "path": {"preprocessed_path": pp_dir},
+        "preprocessing": {
+            "pitch": {"feature": "phoneme_level"},
+            "energy": {"feature": "phoneme_level"},
+            "mel": {"n_mel_channels": 16},
+        },
+    }
+    model_config = {
+        "transformer": {
+            "encoder_layer": 2, "encoder_head": 2, "encoder_hidden": 32,
+            "decoder_layer": 2, "decoder_head": 2, "decoder_hidden": 32,
+            "conv_filter_size": 64, "conv_kernel_size": 3,
+            "encoder_dropout": 0.0, "decoder_dropout": 0.0,
+            "encoder_window_size": 4,
+        },
+        "denoiser": {
+            "residual_layers": 3, "residual_channels": 16,
+            "noise_schedule_naive": "vpsde", "timesteps": 4,
+            "shallow_timesteps": 1, "min_beta": 0.1, "max_beta": 40,
+            "s": 0.008, "keep_bins": 16, "denoiser_dropout": 0.0,
+        },
+        "discriminator": {
+            "n_layer": 3, "n_uncond_layer": 2, "n_cond_layer": 2,
+            "n_channels": [8, 16, 32, 16, 1],
+            "kernel_sizes": [3, 5, 5, 5, 3], "strides": [1, 2, 2, 1, 1],
+        },
+        "variance_predictor": {"filter_size": 16, "kernel_size": 3,
+                               "dropout": 0.0},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear", "n_bins": 16},
+        "multi_speaker": False,
+        "max_seq_len": 64,
+    }
+    train_config = {
+        "aligner": {"helper_type": "dga"},
+        "loss": {"adv_loss_mode": "lsgan"},
+    }
+    return preprocess_config, model_config, train_config
+
+
+def flax_encoder(pre_cfg, model_cfg):
+    from mixgantts_tpu.models.linguistic_encoder import LinguisticEncoder
+    t = model_cfg["transformer"]
+    v = model_cfg["variance_predictor"]
+    return LinguisticEncoder(
+        hidden=t["encoder_hidden"], n_layers=t["encoder_layer"],
+        n_heads=t["encoder_head"], conv_kernel_size=t["conv_kernel_size"],
+        dropout=0.0, window_size=t["encoder_window_size"],
+        max_seq_len=model_cfg["max_seq_len"],
+        n_bins=model_cfg["variance_embedding"]["n_bins"],
+        pitch_range=(-2.0, 9.0), energy_range=(-1.5, 8.0),
+        vp_filter_size=v["filter_size"], vp_kernel_size=v["kernel_size"],
+        vp_dropout=0.0)
+
+
+def torch_inputs(seed=0, B=2, P=10, W=4, T=24):
+    r = np.random.RandomState(seed)
+    wb = np.array([[3, 3, 2, 2], [4, 3, 0, 0]])
+    src_lens = wb.sum(-1)
+    texts = np.zeros((B, P), np.int64)
+    for b in range(B):
+        texts[b, :src_lens[b]] = r.randint(1, 300, src_lens[b])
+    d_targets = np.zeros((B, P), np.int64)
+    for b in range(B):
+        d_targets[b, :src_lens[b]] = r.randint(1, 4, src_lens[b])
+    return dict(
+        texts=texts, src_lens=src_lens, wb=wb,
+        src_w_lens=np.array([4, 2]),
+        p_targets=r.randn(B, P).astype(np.float32),
+        e_targets=r.randn(B, P).astype(np.float32),
+        d_targets=d_targets,
+        T=T, B=B, P=P, W=W,
+    )
+
+
+def test_linguistic_encoder_parity(ref_modules, tmp_path):
+    import jax
+
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    torch.manual_seed(0)
+    ref = ref_modules.le.LinguisticEncoder(pre_cfg, model_cfg, train_cfg)
+    ref.eval()
+
+    inp = torch_inputs()
+    B, P, W = inp["B"], inp["P"], inp["W"]
+    src_p_mask = torch.arange(P)[None] < torch.tensor(inp["src_lens"])[:, None]
+    src_w_mask = torch.arange(W)[None] < torch.tensor(inp["src_w_lens"])[:, None]
+    mel_lens = inp["d_targets"].sum(-1)
+    # the reference requires the frame axis == max(mel_len) exactly
+    T = int(mel_lens.max())
+    mel_mask = torch.arange(T)[None] < torch.tensor(mel_lens)[:, None]
+
+    with torch.no_grad():
+        (ref_x, ref_pitch, ref_energy, ref_logdw, ref_dw, ref_mel_len,
+         ref_mel_mask, ref_attns, ref_logprob) = ref(
+            torch.tensor(inp["texts"]), torch.tensor(inp["src_lens"]),
+            torch.tensor(inp["wb"]), src_p_mask,
+            torch.tensor(inp["src_w_lens"]), src_w_mask,
+            mel_mask, T, None,
+            torch.tensor(inp["p_targets"]), torch.tensor(inp["e_targets"]),
+            torch.tensor(inp["d_targets"]))
+
+    from mixgantts_tpu.convert import convert_linguistic_encoder
+    sd = {f"linguistic_encoder.{k}": v.numpy()
+          for k, v in ref.state_dict().items()}
+    params = convert_linguistic_encoder(sd, n_layers=2)
+
+    enc = flax_encoder(pre_cfg, model_cfg)
+    out = enc.apply(
+        {"params": params}, inp["texts"], inp["src_lens"], inp["wb"],
+        inp["src_w_lens"], T, mel_mask=np.asarray(mel_mask),
+        pitch_target=inp["p_targets"], energy_target=inp["e_targets"],
+        duration_target=inp["d_targets"], train=False)
+
+    np.testing.assert_allclose(np.asarray(out.dur_w_rounded),
+                               ref_dw.numpy(), atol=0)
+    m = np.asarray(mel_mask)[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out.features) * m, ref_x.numpy() * m,
+        rtol=2e-3, atol=2e-4)
+    pm = src_p_mask.numpy()
+    np.testing.assert_allclose(np.asarray(out.pitch_pred) * pm,
+                               ref_pitch.numpy() * pm, rtol=2e-3, atol=2e-4)
+    wm = src_w_mask.numpy()
+    # reference stores log(0) = -inf/nan at padded words; compare valid only
+    np.testing.assert_allclose(
+        np.asarray(out.log_dur_w_pred)[wm], ref_logdw.numpy()[wm],
+        rtol=2e-3, atol=2e-4)
+
+
+def test_denoiser_parity(ref_modules, tmp_path):
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    torch.manual_seed(1)
+    ref = ref_modules.modules.Denoiser(pre_cfg, model_cfg)
+    ref.eval()
+    # zero-init output conv is reference behavior; randomize to make the
+    # comparison meaningful
+    torch.nn.init.normal_(ref.output_projection.conv.weight, std=0.02)
+
+    B, T, M, H = 2, 12, 16, 32
+    r = np.random.RandomState(0)
+    mel = r.randn(B, 1, M, T).astype(np.float32)
+    cond = r.randn(B, H, T).astype(np.float32)
+    t = np.array([1, 3])
+    with torch.no_grad():
+        want = ref(torch.tensor(mel), torch.tensor(t), torch.tensor(cond),
+                   None).numpy()[:, 0]  # [B, M, T]
+
+    from mixgantts_tpu.convert import convert_denoiser
+    from mixgantts_tpu.models.denoiser import Denoiser
+    sd = {f"diffusion.denoise_fn.{k}": v.numpy()
+          for k, v in ref.state_dict().items()}
+    params = convert_denoiser(sd, n_layers=3)
+    den = Denoiser(n_mels=M, d_encoder=H, residual_channels=16,
+                   residual_layers=3, multi_speaker=False)
+    got = den.apply({"params": params},
+                    np.transpose(mel[:, 0], (0, 2, 1)), t,
+                    np.transpose(cond, (0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(got), np.transpose(want, (0, 2, 1)),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_decoder_postnet_parity(ref_modules, tmp_path):
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    torch.manual_seed(2)
+    ref_dec = ref_modules.transformer.Decoder(model_cfg)
+    ref_post = ref_modules.transformer.PostNet(
+        n_mel_channels=16, postnet_embedding_dim=24)
+    ref_lin = torch.nn.Linear(32, 16)
+    ref_dec.eval(), ref_post.eval(), ref_lin.eval()
+
+    B, T, H = 2, 20, 32
+    r = np.random.RandomState(1)
+    x = r.randn(B, T, H).astype(np.float32)
+    mel_lens = np.array([20, 14])
+    # reference FFTBlock mask: True = PAD
+    pad_mask = torch.arange(T)[None] >= torch.tensor(mel_lens)[:, None]
+    with torch.no_grad():
+        dec = ref_dec(torch.tensor(x), pad_mask)
+        coarse = ref_lin(dec)
+        want = (ref_post(coarse) + coarse).numpy()
+
+    from mixgantts_tpu.convert import convert_decoder, convert_postnet, _linear
+    from mixgantts_tpu.models.aux_decoder import Decoder, PostNet
+    sd = {f"decoder.{k}": v.numpy() for k, v in ref_dec.state_dict().items()}
+    sd.update({f"postnet.{k}": v.numpy()
+               for k, v in ref_post.state_dict().items()})
+    sd.update({f"mel_linear.{k}": v.numpy()
+               for k, v in ref_lin.state_dict().items()})
+
+    dec_params = convert_decoder(sd, n_layers=2)
+    post_params, post_stats = convert_postnet(sd)
+    lin_params = _linear(sd, "mel_linear")
+
+    flax_dec = Decoder(hidden=H, n_layers=2, n_heads=2, d_inner=64,
+                       kernel_size=3, dropout=0.0, max_seq_len=64)
+    got_dec = flax_dec.apply({"params": dec_params}, x,
+                             ~np.asarray(pad_mask), train=False)
+    np.testing.assert_allclose(np.asarray(got_dec), dec.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+    flax_post = PostNet(n_mels=16, embedding_dim=24)
+    coarse_j = np.asarray(got_dec) @ lin_params["kernel"] + lin_params["bias"]
+    got = coarse_j + flax_post.apply(
+        {"params": post_params, "batch_stats": post_stats}, coarse_j,
+        train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=5e-4)
+
+
+def test_discriminator_parity(ref_modules, tmp_path):
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    torch.manual_seed(3)
+
+    class _Args:
+        model = "naive"
+
+    ref = ref_modules.mix.JCUDiscriminator(pre_cfg, model_cfg, train_cfg)
+    ref.eval()
+
+    B, T, M = 2, 16, 16
+    r = np.random.RandomState(2)
+    x_ts = r.randn(B, T, M).astype(np.float32)
+    x_prev = r.randn(B, T, M).astype(np.float32)
+    t = np.array([0, 3])
+    with torch.no_grad():
+        want_c, want_u = ref(torch.tensor(x_ts), torch.tensor(x_prev), None,
+                             torch.tensor(t))
+
+    from mixgantts_tpu.convert import convert_discriminator
+    from mixgantts_tpu.models.discriminator import JCUDiscriminator
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_discriminator(sd)
+    disc = JCUDiscriminator(n_mels=M, residual_channels=16,
+                            n_channels=(8, 16, 32, 16, 1))
+    got_c, got_u = disc.apply({"params": params}, x_ts, x_prev, None, t)
+    assert len(got_c) == len(want_c)
+    for g, w in zip(got_c, want_c):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 2, 1),
+                                   w.numpy(), rtol=2e-3, atol=2e-4)
+    for g, w in zip(got_u, want_u):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 2, 1),
+                                   w.numpy(), rtol=2e-3, atol=2e-4)
