@@ -26,7 +26,10 @@ def main():
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _flagship_model, _example_text_batch
+    from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.vocoder import get_vocoder
+
+    enable_compilation_cache()
 
     model, (pre_cfg, model_cfg, train_cfg) = _flagship_model("shallow")
 

@@ -15,6 +15,22 @@ from ..models.discriminator import JCUDiscriminator
 from ..models.mixgantts import MixGANTTS
 
 
+def enable_compilation_cache(cache_dir=None):
+    """Persistent XLA compilation cache: the train/synthesize programs
+    compile once per machine instead of once per process (first TPU compile
+    is minutes; every later CLI invocation then starts in seconds)."""
+    cache_dir = cache_dir or os.environ.get(
+        "MIXGANTTS_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mixgantts_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compilation cache disabled ({e})")
+
+
 def route_paths(train_config, model, path_tag=""):
     train_tag = "naive" if model == "naive" else "shallow"
     tag = f"_{path_tag}" if path_tag else ""
@@ -26,6 +42,7 @@ def route_paths(train_config, model, path_tag=""):
 
 
 def load_configs(args):
+    enable_compilation_cache()
     preprocess_config, model_config, train_config = get_configs_of(
         args.dataset)
     if args.model == "shallow":
