@@ -20,8 +20,9 @@ from ..checkpoint import restore_generator_params
 from ..data.dataset import AcousticDataset, TextOnlyDataset
 from ..frontend import preprocess_english, preprocess_mandarin
 from ..models.vocoder import get_vocoder
+from ..pipeline import TTSPipeline
 from ..train import create_train_state
-from ..utils.synth import synth_samples
+from ..utils.synth import synth_samples, write_results
 from ..utils.tools import bucket_length, pad_1d
 from .common import (
     build_discriminator, build_model, load_configs, model_batch_of,
@@ -32,27 +33,34 @@ def synthesize(model, variables, args, configs, vocoder, batches,
                control_values):
     preprocess_config, model_config, train_config = configs
     pitch_control, energy_control, duration_control = control_values
-    max_seq_len = model_config["max_seq_len"]
+    result_path = train_config["path"]["result_path"]
 
+    if not args.teacher_forced:
+        # single / batch-from-text: the serving pipeline compiles the whole
+        # text->waveform path into one bucketed XLA program per shape
+        pipeline = TTSPipeline(model, variables, vocoder, preprocess_config,
+                               model_config)
+        for i, batch in enumerate(batches):
+            wavs, mels, mel_lens = pipeline(
+                batch, p_control=pitch_control, e_control=energy_control,
+                d_control=duration_control, rng=jax.random.PRNGKey(i))
+            write_results(args, batch["ids"], mels, mel_lens, wavs,
+                          model_config, preprocess_config, result_path)
+        return
+
+    # teacher-forced: duration/pitch/energy targets drive the model
     for i, batch in enumerate(batches):
         kwargs = model_batch_of(batch)
-        if args.teacher_forced:
-            # keep targets for duration/pitch/energy, but sample the mel
-            kwargs.pop("mels", None)
-            kwargs.pop("mel_lens", None)
-            kwargs["max_mel_len"] = batch["mels"].shape[1]
-        else:
-            kwargs["max_mel_len"] = bucket_length(
-                max_seq_len, model_config.get("tpu", {}).get(
-                    "length_buckets", ()))
+        kwargs.pop("mels", None)
+        kwargs.pop("mel_lens", None)
+        kwargs["max_mel_len"] = batch["mels"].shape[1]
         out = model.apply(
             variables, **kwargs, train=False,
             p_control=pitch_control, e_control=energy_control,
             d_control=duration_control,
             rngs={"diffusion": jax.random.PRNGKey(i)})
         synth_samples(args, batch, out, vocoder, model_config,
-                      preprocess_config,
-                      train_config["path"]["result_path"], model.schedule)
+                      preprocess_config, result_path, model.schedule)
 
 
 def build_single_batch(args, preprocess_config, model_config):

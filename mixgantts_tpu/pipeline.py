@@ -1,0 +1,119 @@
+"""Serving pipeline: text batch -> waveform as ONE compiled XLA program.
+
+The reference synthesizes in two stages (acoustic model, then vocoder —
+`synthesize.py:106-140` + `utils/model.py:108-126`), each a separate device
+dispatch.  On TPU, per-dispatch latency dominates single-utterance synthesis
+at this model scale, so the pipeline compiles linguistic encoder -> aux
+decoder -> diffusion sampling -> vocoder into one jitted function.
+
+Shapes are bucketed (`tpu.length_buckets` / `tpu.phone_buckets` in
+model.yaml): inputs pad up to the nearest bucket, so the pipeline compiles a
+handful of programs total instead of one per utterance length.  The
+pitch/energy/duration control knobs are traced scalars — changing them never
+recompiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.tools import bucket_length, pad_1d
+
+
+class TTSPipeline:
+    """One-call text->wav synthesis on a single chip.
+
+    pipeline = TTSPipeline(model, variables, vocoder, preprocess_config,
+                           model_config)
+    wavs = pipeline(batch)          # list of int16 waveforms
+    """
+
+    def __init__(self, model, variables, vocoder, preprocess_config,
+                 model_config):
+        self.model = model
+        self.variables = variables
+        self.vocoder = vocoder
+        self.preprocess_config = preprocess_config
+        tpu_cfg = model_config.get("tpu", {}) or {}
+        self.length_buckets = tuple(tpu_cfg.get("length_buckets", ()))
+        self.phone_buckets = tuple(tpu_cfg.get("phone_buckets", ()))
+        self.max_seq_len = model_config["max_seq_len"]
+        self.hop_length = preprocess_config["preprocessing"]["stft"][
+            "hop_length"]
+        self.max_wav_value = preprocess_config["preprocessing"]["audio"][
+            "max_wav_value"]
+        self._call_count = 0
+        self._programs = {}
+
+    def _compiled(self, P, W, T, has_spk):
+        """One jitted program per (phone, word, frame) bucket triple,
+        cached per pipeline instance."""
+        key = (P, W, T, has_spk)
+        if key in self._programs:
+            return self._programs[key]
+        import math
+        model, vocoder = self.model, self.vocoder
+        in_scale = 1.0 / math.log(10.0) if vocoder.name == "MelGAN" else 1.0
+
+        @jax.jit
+        def run(g_params, batch_stats, v_params, rng, speakers, texts,
+                src_lens, word_boundaries, src_w_lens, spker_embeds,
+                p_control, e_control, d_control):
+            out = model.apply(
+                {"params": g_params, "batch_stats": batch_stats},
+                speakers=speakers, texts=texts, src_lens=src_lens,
+                word_boundaries=word_boundaries, src_w_lens=src_w_lens,
+                max_mel_len=T, spker_embeds=spker_embeds,
+                p_control=p_control, e_control=e_control,
+                d_control=d_control, train=False, rngs={"diffusion": rng})
+            mel = out.mel_pred
+            if model.mode == "aux":
+                # aux mel_pred is the diffuse trace; element 0 is the
+                # clamped normalized mel (matches `utils/tools.py:227-229`)
+                mel = model.schedule.denorm_spec(mel[0])
+            wav = vocoder.module.apply({"params": v_params}, mel * in_scale)
+            return wav, mel, out.mel_lens
+
+        self._programs[key] = run
+        return run
+
+    def __call__(self, batch, p_control=1.0, e_control=1.0, d_control=1.0,
+                 rng=None):
+        """batch: dict with texts [B, P], src_lens, word_boundaries [B, W],
+        src_w_lens, speakers, optional spker_embeds.  Returns a list of B
+        int16 waveforms trimmed to each predicted mel length."""
+        texts = np.asarray(batch["texts"])
+        wb = np.asarray(batch["word_boundaries"])
+        B = texts.shape[0]
+
+        P = bucket_length(texts.shape[1], self.phone_buckets)
+        W = bucket_length(wb.shape[1], self.phone_buckets)
+        # frame budget: generous duration headroom, capped at max_seq_len
+        T = bucket_length(min(self.max_seq_len, max(64, texts.shape[1] * 16)),
+                          self.length_buckets)
+
+        texts = np.pad(texts, ((0, 0), (0, P - texts.shape[1])))
+        wb = np.pad(wb, ((0, 0), (0, W - wb.shape[1])))
+        spk = batch.get("spker_embeds")
+        run = self._compiled(P, W, T, spk is not None)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(self._call_count)
+            self._call_count += 1
+        wav, mel, mel_lens = run(
+            self.variables["params"], self.variables.get("batch_stats", {}),
+            self.vocoder.params, rng,
+            jnp.asarray(batch["speakers"]), jnp.asarray(texts),
+            jnp.asarray(batch["src_lens"]), jnp.asarray(wb),
+            jnp.asarray(batch["src_w_lens"]),
+            None if spk is None else jnp.asarray(spk),
+            jnp.float32(p_control), jnp.float32(e_control),
+            jnp.float32(d_control))
+
+        wav = np.asarray(wav)
+        if wav.ndim == 3:  # [B, T, 1] conv output
+            wav = wav[..., 0]
+        wav = (np.clip(wav, -1.0, 1.0) * self.max_wav_value).astype(np.int16)
+        mel_lens = np.asarray(mel_lens)
+        wavs = [wav[i, :int(mel_lens[i]) * self.hop_length] for i in range(B)]
+        return wavs, np.asarray(mel), mel_lens

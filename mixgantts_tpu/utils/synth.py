@@ -59,19 +59,14 @@ def synth_one_sample(mode, batch, out, trace, vocoder, model_config,
     return figs, attn_fig, wav_reconstruction, wav_prediction, basename
 
 
-def synth_samples(args, batch, out, vocoder, model_config, preprocess_config,
-                  path, schedule):
-    """Write result pngs + wavs for a synthesized batch."""
+def write_results(args, basenames, mel_preds, mel_lens, wavs, model_config,
+                  preprocess_config, path):
+    """Write result pngs + wavs for already-synthesized mels/waveforms."""
     import matplotlib.pyplot as plt
 
     multi_speaker = model_config["multi_speaker"]
     teacher_forced_tag = "_teacher_forced" if getattr(
         args, "teacher_forced", False) else ""
-    basenames = batch["ids"]
-    mel_preds = np.asarray(out.mel_pred)
-    if args.model == "aux":
-        mel_preds = np.asarray(schedule.denorm_spec(out.mel_pred[0]))
-
     out_dir = os.path.join(path, str(args.restore_step))
     os.makedirs(out_dir, exist_ok=True)
 
@@ -80,15 +75,25 @@ def synth_samples(args, batch, out, vocoder, model_config, preprocess_config,
             return f"{basename}_{args.speaker_id}{teacher_forced_tag}"
         return f"{basename}{teacher_forced_tag}"
 
-    mel_lens = np.asarray(out.mel_lens)
     for i, basename in enumerate(basenames):
         mel_len = int(mel_lens[i])
         fig = plot_mel([mel_preds[i, :mel_len].T], ["Synthetized Spectrogram"])
         fig.savefig(os.path.join(out_dir, f"{tag_for(basename)}.png"))
         plt.close(fig)
 
-    wavs = vocoder_infer(mel_preds, vocoder, preprocess_config,
-                         lengths=mel_lens)
     sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
     for wav, basename in zip(wavs, basenames):
         save_wav(os.path.join(out_dir, f"{tag_for(basename)}.wav"), wav, sr)
+
+
+def synth_samples(args, batch, out, vocoder, model_config, preprocess_config,
+                  path, schedule):
+    """Write result pngs + wavs for a synthesized model output batch."""
+    mel_preds = np.asarray(out.mel_pred)
+    if args.model == "aux":
+        mel_preds = np.asarray(schedule.denorm_spec(out.mel_pred[0]))
+    mel_lens = np.asarray(out.mel_lens)
+    wavs = vocoder_infer(mel_preds, vocoder, preprocess_config,
+                         lengths=mel_lens)
+    write_results(args, batch["ids"], mel_preds, mel_lens, wavs,
+                  model_config, preprocess_config, path)

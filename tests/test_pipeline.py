@@ -1,0 +1,123 @@
+"""TTSPipeline: one-program text->wav serving path with bucketed shapes."""
+
+import jax
+import numpy as np
+import pytest
+
+from mixgantts_tpu.config import NormStats
+from mixgantts_tpu.models.diffusion import DiffusionSchedule
+from mixgantts_tpu.models.mixgantts import MixGANTTS
+from mixgantts_tpu.models.vocoder import get_vocoder
+from mixgantts_tpu.pipeline import TTSPipeline
+
+N_MELS = 20
+HOP = 64
+
+PREPROCESS_CONFIG = {
+    "preprocessing": {
+        "audio": {"sampling_rate": 22050, "max_wav_value": 32768.0},
+        "stft": {"hop_length": HOP},
+        "mel": {"n_mel_channels": N_MELS},
+    },
+}
+MODEL_CONFIG = {
+    "max_seq_len": 128,
+    "multi_speaker": False,
+    "vocoder": {"model": "HiFi-GAN", "speaker": "LJSpeech"},
+    "tpu": {"length_buckets": [64, 128], "phone_buckets": [8, 16, 32]},
+}
+
+
+def tiny_model(mode):
+    stats = NormStats.default(n_mels=N_MELS)
+    schedule = DiffusionSchedule.create(
+        "vpsde", 2 if mode == "naive" else 1, 0.1, 40, 0.008,
+        stats.spec_min[:N_MELS], stats.spec_max[:N_MELS])
+    return MixGANTTS(
+        mode=mode, schedule=schedule, stats=stats, hidden=32,
+        encoder_layers=1, encoder_heads=2, conv_kernel_size=3,
+        decoder_layers=1, conv_filter_size=64, max_seq_len=128,
+        n_mels=N_MELS, n_bins=16, vp_filter_size=16,
+        residual_channels=16, residual_layers=2)
+
+
+def text_batch(B=2, P=10, W=4, seed=0):
+    r = np.random.RandomState(seed)
+    wb = r.randint(1, 4, (B, W)).astype(np.int64)
+    src_lens = wb.sum(-1).astype(np.int64)
+    texts = np.zeros((B, P), np.int64)
+    for b in range(B):
+        texts[b, :src_lens[b]] = r.randint(1, 100, src_lens[b])
+    return {
+        "ids": [f"utt{i}" for i in range(B)],
+        "speakers": np.zeros((B,), np.int64),
+        "texts": texts,
+        "src_lens": src_lens,
+        "word_boundaries": wb,
+        "src_w_lens": np.full((B,), W, np.int64),
+    }
+
+
+@pytest.mark.parametrize("mode", ["naive", "aux", "shallow"])
+def test_pipeline_synthesizes(mode):
+    model = tiny_model(mode)
+    batch = text_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    pipe = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                       MODEL_CONFIG)
+    wavs, mels, mel_lens = pipe(batch, d_control=1.0)
+    assert len(wavs) == 2
+    for i, wav in enumerate(wavs):
+        assert wav.dtype == np.int16
+        assert len(wav) == int(mel_lens[i]) * HOP
+    assert mels.shape[0] == 2 and mels.shape[2] == N_MELS
+    assert np.isfinite(mels).all()
+
+
+def test_pipeline_bucket_reuse():
+    model = tiny_model("naive")
+    batch = text_batch(P=10, W=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    pipe = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                       MODEL_CONFIG)
+    pipe(batch)
+    # a different raw length in the same bucket reuses the compiled program
+    pipe(text_batch(P=14, W=4, seed=1))
+    assert len(pipe._programs) == 1
+    # crossing a bucket boundary compiles a second program
+    pipe(text_batch(P=20, W=4, seed=2))
+    assert len(pipe._programs) == 2
+
+
+def test_pipeline_control_knobs_do_not_recompile():
+    model = tiny_model("naive")
+    batch = text_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    pipe = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                       MODEL_CONFIG)
+    _, _, lens1 = pipe(batch, d_control=1.0, rng=jax.random.PRNGKey(7))
+    _, _, lens2 = pipe(batch, d_control=2.0, rng=jax.random.PRNGKey(7))
+    assert len(pipe._programs) == 1
+    # duration control actually lengthens the output
+    assert lens2.sum() >= lens1.sum()
