@@ -120,7 +120,10 @@ _PINYIN_RE = re.compile(r"^[a-z]+[1-5]$")
 
 
 def preprocess_mandarin(text, preprocess_config, verbose=True):
-    lexicon = read_lexicon(preprocess_config["path"]["lexicon_path"])
+    from .text.pinyin import pinyin_to_phones
+
+    lex_path = preprocess_config["path"]["lexicon_path"]
+    lexicon = read_lexicon(lex_path) if os.path.isfile(lex_path) else {}
 
     tokens = text.strip().split()
     if not all(_PINYIN_RE.match(t) or not t for t in tokens):
@@ -129,7 +132,9 @@ def preprocess_mandarin(text, preprocess_config, verbose=True):
             "raw-hanzi conversion needs an external pinyin converter.")
     phones, word_boundaries = [], []
     for p in tokens:
-        phone_list = lexicon.get(p, ["sp"])
+        # lexicon first (reference behavior), rule-based decomposition as
+        # the built-in fallback so no lexicon file is required
+        phone_list = lexicon.get(p) or pinyin_to_phones(p) or ["sp"]
         if phone_list:
             phones += phone_list
             word_boundaries.append(len(phone_list))

@@ -156,3 +156,62 @@ def test_external_speaker_projection_forward():
         train=False)[0]
     assert out.speaker_emb.shape == (B, 32)
     assert np.isfinite(np.asarray(out.mel_pred)).all()
+
+
+# --- pinyin decomposition -----------------------------------------------------
+
+def test_pinyin_rules():
+    from mixgantts_tpu.text.pinyin import pinyin_to_phones
+
+    assert pinyin_to_phones("zhi1") == ["zh", "iii1"]
+    assert pinyin_to_phones("si4") == ["s", "ii4"]
+    assert pinyin_to_phones("ang4") == ["ang4"]
+    assert pinyin_to_phones("jun1") == ["j", "vn1"]
+    assert pinyin_to_phones("yue4") == ["y", "ve4"]
+    assert pinyin_to_phones("liu2") == ["l", "iou2"]
+    assert pinyin_to_phones("shui3") == ["sh", "uei3"]
+    assert pinyin_to_phones("weng1") == ["w", "uen1"]
+    assert pinyin_to_phones("bar1") == ["b", "a1", "rr"]   # erhua
+    assert pinyin_to_phones("hello") is None
+    assert pinyin_to_phones("xyz9") is None
+
+
+@pytest.mark.skipif(
+    not os.path.isfile("/root/reference/lexicon/pinyin-lexicon-r.txt"),
+    reason="reference lexicon not available")
+def test_pinyin_matches_reference_lexicon_exactly():
+    """Every entry of the reference's 4115-syllable lexicon reproduces from
+    the rules (first pronunciation wins, matching read_lexicon)."""
+    from mixgantts_tpu.text.pinyin import pinyin_to_phones
+
+    ref = {}
+    with open("/root/reference/lexicon/pinyin-lexicon-r.txt") as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] not in ref:
+                ref[parts[0]] = parts[1:]
+    mismatches = [s for s, phones in ref.items()
+                  if pinyin_to_phones(s) != phones]
+    assert not mismatches, mismatches[:10]
+
+
+def test_mandarin_rule_fallback_without_lexicon(tmp_path):
+    cfg = {
+        "path": {"lexicon_path": str(tmp_path / "missing.txt")},
+        "preprocessing": {"text": {
+            "text_cleaners": [], "language": "zh",
+            "sub_divide_word": False, "max_phoneme_num": 7,
+        }},
+    }
+    seq, wb = preprocess_mandarin("zhong1 guo2", cfg, verbose=False)
+    assert wb.tolist() == [2, 2]
+    assert (seq > 0).all()
+
+
+def test_build_lexicon_entries_cover_reference_syllables():
+    from mixgantts_tpu.text.pinyin import build_lexicon_entries
+
+    entries = dict(build_lexicon_entries())
+    for syl, phones in [("zhi1", ["zh", "iii1"]), ("jun1", ["j", "vn1"]),
+                        ("a1", ["a1"]), ("r5", ["er5"])]:
+        assert entries[syl] == phones
