@@ -44,6 +44,10 @@ class Denoiser(nn.Module):
     residual_channels: int = 256
     residual_layers: int = 20
     multi_speaker: bool = False
+    # route the residual stack through the fused Pallas kernel
+    # (`ops/pallas.py`); single-speaker inference only — the speaker
+    # projection and autodiff take the flax path
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x_t, t, cond, spk_emb=None):
@@ -57,11 +61,19 @@ class Denoiser(nn.Module):
         if not self.multi_speaker:
             spk_emb = None
 
-        skip_sum = jnp.zeros_like(x)
-        for i in range(self.residual_layers):
-            x, skip = ResidualBlock(C, name=f"res_{i}")(
-                x, cond, step_emb, spk_emb)
-            skip_sum = skip_sum + skip
+        use_fused = (self.fused and spk_emb is None
+                     and not self.is_initializing())
+        if use_fused:
+            from ..ops.pallas import fused_residual_stack, \
+                stack_denoiser_params
+            stacked = stack_denoiser_params(self.variables["params"])
+            x, skip_sum = fused_residual_stack(x, cond, step_emb, stacked)
+        else:
+            skip_sum = jnp.zeros_like(x)
+            for i in range(self.residual_layers):
+                x, skip = ResidualBlock(C, name=f"res_{i}")(
+                    x, cond, step_emb, spk_emb)
+                skip_sum = skip_sum + skip
         x = skip_sum / math.sqrt(self.residual_layers)
         x = Conv1d(C, 1, name="skip_projection")(x)
         x = jax.nn.relu(x)

@@ -1,0 +1,85 @@
+"""Fused Pallas denoiser stack == the flax ResidualBlock loop (interpreter
+mode on CPU; the same kernel compiles for TPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mixgantts_tpu.models.denoiser import Denoiser
+from mixgantts_tpu.ops.pallas import (
+    fused_residual_stack, stack_denoiser_params,
+)
+
+
+def _denoiser_pair(L=4, C=32, Hc=48, n_mels=20):
+    ref = Denoiser(n_mels=n_mels, d_encoder=Hc, residual_channels=C,
+                   residual_layers=L, fused=False)
+    fused = Denoiser(n_mels=n_mels, d_encoder=Hc, residual_channels=C,
+                     residual_layers=L, fused=True)
+    return ref, fused
+
+
+def _inputs(B=2, T=50, Hc=48, n_mels=20, seed=0):
+    r = np.random.RandomState(seed)
+    x_t = r.randn(B, T, n_mels).astype(np.float32)
+    t = np.array([1, 3][:B], np.int32)
+    cond = r.randn(B, T, Hc).astype(np.float32)
+    return x_t, t, cond
+
+
+def test_fused_denoiser_matches_flax():
+    ref, fused = _denoiser_pair()
+    x_t, t, cond = _inputs()
+    variables = ref.init(jax.random.PRNGKey(0), x_t, t, cond)
+    out_ref = ref.apply(variables, x_t, t, cond)
+    out_fused = fused.apply(variables, x_t, t, cond)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_stack_multiple_tiles():
+    """T spanning several tiles with a ragged final tile."""
+    L, C, Hc = 3, 16, 24
+    ref, _ = _denoiser_pair(L=L, C=C, Hc=Hc)
+    x_t, t, cond = _inputs(B=1, T=70, Hc=Hc)
+    variables = ref.init(jax.random.PRNGKey(1), x_t, t, cond)
+
+    # oracle: run the flax blocks manually on the post-projection x
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from mixgantts_tpu.models.blocks import Conv1d, StepEmbeddingMLP
+    from mixgantts_tpu.models.denoiser import ResidualBlock
+
+    params = variables["params"]
+    x = Conv1d(C, 1).apply(
+        {"params": params["input_projection"]}, jnp.asarray(x_t))
+    x = jax.nn.relu(x)
+    step = StepEmbeddingMLP(C, C).apply(
+        {"params": params["mlp"]}, jnp.asarray(t))
+    x_ref = x
+    skip_ref = jnp.zeros_like(x)
+    for i in range(L):
+        x_ref, s = ResidualBlock(C).apply(
+            {"params": params[f"res_{i}"]}, x_ref, jnp.asarray(cond), step)
+        skip_ref = skip_ref + s
+
+    stacked = stack_denoiser_params(params)
+    x_f, skip_f = fused_residual_stack(x, jnp.asarray(cond), step, stacked,
+                                       tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(skip_f), np.asarray(skip_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_stack_single_short_tile():
+    L, C, Hc = 2, 8, 8
+    ref, _ = _denoiser_pair(L=L, C=C, Hc=Hc, n_mels=4)
+    x_t, t, cond = _inputs(B=2, T=9, Hc=Hc, n_mels=4)
+    variables = ref.init(jax.random.PRNGKey(2), x_t, t, cond)
+    out_ref = ref.apply(variables, x_t, t, cond)
+    fused = Denoiser(n_mels=4, d_encoder=Hc, residual_channels=C,
+                     residual_layers=L, fused=True)
+    out_fused = fused.apply(variables, x_t, t, cond)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
