@@ -56,6 +56,14 @@ def _maybe_stop(x, cond):
     return jax.lax.stop_gradient(x)
 
 
+def _default_fused(configured):
+    """`denoiser.fused` yaml override, else on iff running on real TPU
+    hardware (the Pallas interpreter fallback would only slow CPU down)."""
+    if configured is not None:
+        return bool(configured)
+    return jax.default_backend() in ("tpu", "axon")
+
+
 class MixGANTTS(nn.Module):
     mode: str                       # 'naive' | 'aux' | 'shallow'
     schedule: DiffusionSchedule
@@ -85,6 +93,10 @@ class MixGANTTS(nn.Module):
     n_speakers: int = 1
     embedder_type: str = "none"     # 'none' (table) or external embedder name
     external_speaker_dim: int = 512
+    # inference-time routing of the denoiser through the fused Pallas
+    # residual-stack kernel (ops/pallas.py); training always takes the
+    # flax path (the kernel has no custom VJP)
+    fused_denoiser: bool = False
 
     @classmethod
     def from_configs(cls, mode, preprocess_config, model_config, stats,
@@ -128,6 +140,7 @@ class MixGANTTS(nn.Module):
             embedder_type=preprocess_config["preprocessing"].get(
                 "speaker_embedder", "none"),
             external_speaker_dim=model_config.get("external_speaker_dim", 512),
+            fused_denoiser=_default_fused(d.get("fused")),
         )
 
     @nn.compact
@@ -204,6 +217,7 @@ class MixGANTTS(nn.Module):
             residual_channels=self.residual_channels,
             residual_layers=self.residual_layers,
             multi_speaker=self.multi_speaker,
+            fused=self.fused_denoiser and mels is None,
             name="denoiser",
         )
 

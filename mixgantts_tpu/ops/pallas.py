@@ -68,7 +68,7 @@ def stack_denoiser_params(params):
     }
 
 
-def _kernel(T, L, tile, step_ref, x_ref, cond_ref, cond_w_ref, cond_b_ref,
+def _kernel(T, L, tile, step_ref, x_ref, condp_ref,
             conv_w_ref, conv_b_ref, out_w_ref, out_b_ref,
             x_out_ref, skip_out_ref, x_s, skip_s):
     H = L
@@ -87,10 +87,8 @@ def _kernel(T, L, tile, step_ref, x_ref, cond_ref, cond_w_ref, cond_b_ref,
            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0))
     mask = ((pos >= 0) & (pos < T)).astype(x_s.dtype)
 
-    y0 = x_s[:] + step_ref[0, 0][None, :]
-    condp = jnp.dot(cond_ref[0, 0], cond_w_ref[0],
-                    preferred_element_type=jnp.float32)
-    y = (y0 + condp + cond_b_ref[0][None, :]) * mask
+    y0 = x_s[:] + step_ref[0, 0]
+    y = (y0 + condp_ref[0, 0, 0]) * mask
 
     # k=3 conv as one MXU matmul over [y_{t-1} | y_t | y_{t+1}]
     zero = jnp.zeros((1, C), dtype=y.dtype)
@@ -99,12 +97,12 @@ def _kernel(T, L, tile, step_ref, x_ref, cond_ref, cond_w_ref, cond_b_ref,
     y_cat = jnp.concatenate([y_prev, y, y_next], axis=1)  # [tile_h, 3C]
     w_cat = conv_w_ref[0].reshape(3 * C, 2 * C)
     z = jnp.dot(y_cat, w_cat, preferred_element_type=jnp.float32)
-    z = z + conv_b_ref[0][None, :]
+    z = z + conv_b_ref[0]
 
     gate, filt = z[:, :C], z[:, C:]
     g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
     o = jnp.dot(g, out_w_ref[0], preferred_element_type=jnp.float32)
-    o = o + out_b_ref[0][None, :]
+    o = o + out_b_ref[0]
 
     x_s[:] = (o[:, :C] + y0) * (1.0 / math.sqrt(2.0))
     skip_s[:] = skip_s[:] + o[:, C:]
@@ -115,12 +113,14 @@ def _kernel(T, L, tile, step_ref, x_ref, cond_ref, cond_w_ref, cond_b_ref,
         skip_out_ref[0, 0] = skip_s[H:H + tile]
 
 
-def fused_residual_stack(x, cond, step_emb, stacked, tile=256,
+def fused_residual_stack(x, cond, step_emb, stacked, tile=None,
                          interpret=None):
     """x [B,T,C], cond [B,T,Hc], step_emb [B,C], stacked from
     `stack_denoiser_params`.  Returns (x_final [B,T,C], skip_sum [B,T,C]) —
     identical (to fp32 tolerance) to looping the flax ResidualBlocks.
 
+    tile=None auto-picks: one tile spanning T when T <= 1024 (halo cost
+    amortizes best; measured 1.35x over the XLA loop at T=864), else 512.
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU tests)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -128,44 +128,54 @@ def fused_residual_stack(x, cond, step_emb, stacked, tile=256,
     Hc = cond.shape[-1]
     L = stacked["conv_w"].shape[0]
     H = L
-    tile = min(tile, max(8, T))
+    if tile is None:
+        tile = -(-T // 8) * 8 if T <= 1024 else 512
+    tile = min(tile, -(-max(8, T) // 8) * 8)
     n_t = pl.cdiv(T, tile)
     Tp = n_t * tile
     tile_h = tile + 2 * H
 
-    # step projections for every layer: [L, B, C] (tiny matmul, stays XLA)
-    step_projs = jnp.einsum("bc,lcd->lbd", step_emb, stacked["step_w"])
+    # step projections for every layer: [L, B, 1, C] (tiny matmul, stays
+    # XLA); the singleton row keeps Mosaic's last-two-dims block tiling
+    # rule satisfied (blocks must tile (8, 128) or span the full dims)
+    step_projs = jnp.einsum("bc,lcd->lbd", step_emb,
+                            stacked["step_w"])[:, :, None, :]
+    conv_b = stacked["conv_b"][:, None, :]   # [L, 1, 2C]
+    out_b = stacked["out_b"][:, None, :]     # [L, 1, 2C]
+
+    # conditioner projections for ALL layers as one MXU-sized XLA matmul
+    # ([B*T, Hc] @ [Hc, L*C] beats 20 small per-layer matmuls inside the
+    # kernel); cond is layer-invariant so this hoists cleanly
+    condp_all = jnp.einsum("bth,lhc->lbtc", cond, stacked["cond_w"])
+    condp_all = condp_all + stacked["cond_b"][:, None, None, :]
 
     # haloed, non-overlapping tiles gathered on the host side of the kernel
     xp = jnp.pad(x, ((0, 0), (H, Tp - T + H), (0, 0)))
-    cp = jnp.pad(cond, ((0, 0), (H, Tp - T + H), (0, 0)))
+    cpp = jnp.pad(condp_all, ((0, 0), (0, 0), (H, Tp - T + H), (0, 0)))
     gather = (np.arange(n_t)[:, None] * tile
               + np.arange(tile_h)[None, :])  # [n_t, tile_h]
-    x_tiles = xp[:, gather]      # [B, n_t, tile_h, C]
-    cond_tiles = cp[:, gather]   # [B, n_t, tile_h, Hc]
+    x_tiles = xp[:, gather]          # [B, n_t, tile_h, C]
+    condp_tiles = cpp[:, :, gather]  # [L, B, n_t, tile_h, C]
 
     kernel = functools.partial(_kernel, T, L, tile)
     x_out, skip_out = pl.pallas_call(
         kernel,
         grid=(B, n_t, L),
         in_specs=[
-            pl.BlockSpec((1, 1, C), lambda b, t, l: (l, b, 0),
+            pl.BlockSpec((1, 1, 1, C), lambda b, t, l: (l, b, 0, 0),
                          memory_space=pltpu.VMEM),          # step_projs
             pl.BlockSpec((1, 1, tile_h, C), lambda b, t, l: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),          # x_tiles
-            pl.BlockSpec((1, 1, tile_h, Hc), lambda b, t, l: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),          # cond_tiles
-            pl.BlockSpec((1, Hc, C), lambda b, t, l: (l, 0, 0),
-                         memory_space=pltpu.VMEM),          # cond_w
-            pl.BlockSpec((1, C), lambda b, t, l: (l, 0),
-                         memory_space=pltpu.VMEM),          # cond_b
+            pl.BlockSpec((1, 1, 1, tile_h, C),
+                         lambda b, t, l: (l, b, t, 0, 0),
+                         memory_space=pltpu.VMEM),          # condp_tiles
             pl.BlockSpec((1, 3, C, 2 * C), lambda b, t, l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),          # conv_w
-            pl.BlockSpec((1, 2 * C), lambda b, t, l: (l, 0),
+            pl.BlockSpec((1, 1, 2 * C), lambda b, t, l: (l, 0, 0),
                          memory_space=pltpu.VMEM),          # conv_b
             pl.BlockSpec((1, C, 2 * C), lambda b, t, l: (l, 0, 0),
                          memory_space=pltpu.VMEM),          # out_w
-            pl.BlockSpec((1, 2 * C), lambda b, t, l: (l, 0),
+            pl.BlockSpec((1, 1, 2 * C), lambda b, t, l: (l, 0, 0),
                          memory_space=pltpu.VMEM),          # out_b
         ],
         out_specs=[
@@ -183,10 +193,9 @@ def fused_residual_stack(x, cond, step_emb, stacked, tile=256,
             pltpu.VMEM((tile_h, C), jnp.float32),
         ],
         interpret=interpret,
-    )(step_projs, x_tiles, cond_tiles,
-      stacked["cond_w"], stacked["cond_b"],
-      stacked["conv_w"], stacked["conv_b"],
-      stacked["out_w"], stacked["out_b"])
+    )(step_projs, x_tiles, condp_tiles,
+      stacked["conv_w"], conv_b,
+      stacked["out_w"], out_b)
 
     x_out = x_out.reshape(B, Tp, C)[:, :T]
     skip_out = skip_out.reshape(B, Tp, C)[:, :T]

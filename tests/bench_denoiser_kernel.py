@@ -5,7 +5,11 @@ Run directly:  python tests/bench_denoiser_kernel.py
 Not collected by pytest (no test_ prefix).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +53,23 @@ def main():
     print(f"max_abs_err={err:.3e}")
     print(f"xla_loop : {t_ref * 1e3:8.3f} ms")
     print(f"pallas   : {t_fused * 1e3:8.3f} ms  "
-          f"(speedup {t_ref / t_fused:.2f}x)")
+          f"(speedup {t_ref / t_fused:.2f}x)  [default tile]")
+
+    # tile sweep on the raw stack call
+    from mixgantts_tpu.models.blocks import Conv1d, StepEmbeddingMLP
+    from mixgantts_tpu.ops.pallas import (
+        fused_residual_stack, stack_denoiser_params,
+    )
+    params = variables["params"]
+    x = Conv1d(C, 1).apply({"params": params["input_projection"]}, x_t)
+    x = jax.nn.relu(x)
+    step = StepEmbeddingMLP(C, C).apply({"params": params["mlp"]}, t)
+    stacked = stack_denoiser_params(params)
+    for tile in (128, 256, 432, 864):
+        f = jax.jit(lambda xx, cc, ss, tile=tile: fused_residual_stack(
+            xx, cc, ss, stacked, tile=tile))
+        dt = timeit(f, x, cond, step)
+        print(f"pallas tile={tile:4d}: {dt * 1e3:8.3f} ms")
 
 
 if __name__ == "__main__":
