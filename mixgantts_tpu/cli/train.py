@@ -9,7 +9,6 @@ sharded over a device mesh with --data_parallel).
 
 import argparse
 import os
-import time
 
 import jax
 import numpy as np
@@ -21,6 +20,7 @@ from ..parallel import make_mesh, replicate_state, shard_batch, shard_train_step
 from ..train import create_train_state, make_train_step, make_eval_step
 from ..train.optim import fs2_lr_schedule
 from ..utils.logging import get_writer, log, loss_message
+from ..utils.profiling import StepProfiler, ThroughputMeter, start_server
 from ..utils.synth import synth_one_sample
 from .common import (
     build_discriminator, build_model, load_configs, model_batch_of,
@@ -125,9 +125,16 @@ def main(args, configs):
         train_config["optimizer_fs2"]["anneal_rate"])
     sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
 
+    profile_port = getattr(args, "profile_port", 0)
+    if profile_port:
+        start_server(profile_port)
+        print(f"profiler server listening on :{profile_port}")
+    profiler = StepProfiler(getattr(args, "profile_dir", None),
+                            args.restore_step + 10)
+    meter = ThroughputMeter()
+
     step = args.restore_step + 1
     epoch = int(state.epoch)
-    last_log = time.time()
     while True:
         batch = next(batch_gen)
         if batch is None:  # epoch boundary: ExponentialLR decay
@@ -139,20 +146,23 @@ def main(args, configs):
                     lr_d=state.lr_d * gamma)
             continue
 
+        profiler.step(step)
         state, metrics = step_fn(state, put(model_batch_of(batch)))
+        meter.update(batch["mel_lens"])
 
         if step % cfg_step["log_step"] == 0:
             metrics = jax.device_get(metrics)
             msg = loss_message(step, total_step, metrics)
-            dt = time.time() - last_log
-            last_log = time.time()
-            print(f"{msg}  ({cfg_step['log_step'] / max(dt, 1e-9):.2f} it/s)")
+            it_s, frames_s = meter.read_and_reset()
+            print(f"{msg}  ({it_s:.2f} it/s, {frames_s:.0f} mel-frames/s)")
             with open(os.path.join(train_log_path, "log.txt"), "a") as f:
                 f.write(f"Step {step}/{total_step}, " + msg.split(", ", 1)[1]
                         + "\n")
             lr = (float(state.lr_g) if mode != "aux"
                   else float(fs2_sched(step)))
             log(train_logger, step, losses=metrics, lr=lr)
+            train_logger.add_scalar("Training/mel_frames_per_sec",
+                                    frames_s, step)
 
         if step % cfg_step["synth_step"] == 0 and vocoder is not None:
             figs, attn_fig, wav_rec, wav_pred, tag = synthesize_sample(
@@ -180,6 +190,7 @@ def main(args, configs):
             print(f"saved checkpoint: {path}")
 
         if step >= total_step:
+            profiler.close()
             return
         step += 1
 
@@ -194,6 +205,11 @@ def build_argparser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch over all visible devices")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture an XLA device trace of 5 steady-state "
+                             "steps into this dir (TensorBoard profile)")
+    parser.add_argument("--profile_port", type=int, default=0,
+                        help="start a live jax.profiler server on this port")
     return parser
 
 
