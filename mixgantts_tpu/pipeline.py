@@ -20,6 +20,15 @@ import numpy as np
 from .utils.tools import bucket_length, pad_1d
 
 
+def cast_floats(tree, dtype):
+    """Cast every float leaf of a pytree to `dtype` (ints/bools untouched)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 class TTSPipeline:
     """One-call text->wav synthesis on a single chip.
 
@@ -37,6 +46,10 @@ class TTSPipeline:
         tpu_cfg = model_config.get("tpu", {}) or {}
         self.length_buckets = tuple(tpu_cfg.get("length_buckets", ()))
         self.phone_buckets = tuple(tpu_cfg.get("phone_buckets", ()))
+        # 'bfloat16' runs params + activations in bf16 on the MXU (opt-in:
+        # the float32 default preserves BASELINE.md's mel-MAE parity target)
+        self.compute_dtype = jnp.dtype(
+            tpu_cfg.get("compute_dtype", "float32"))
         self.max_seq_len = model_config["max_seq_len"]
         self.hop_length = preprocess_config["preprocessing"]["stft"][
             "hop_length"]
@@ -54,11 +67,16 @@ class TTSPipeline:
         import math
         model, vocoder = self.model, self.vocoder
         in_scale = 1.0 / math.log(10.0) if vocoder.name == "MelGAN" else 1.0
+        dtype = self.compute_dtype
 
         @jax.jit
         def run(g_params, batch_stats, v_params, rng, speakers, texts,
                 src_lens, word_boundaries, src_w_lens, spker_embeds,
                 p_control, e_control, d_control):
+            if dtype != jnp.float32:
+                g_params = cast_floats(g_params, dtype)
+                v_params = cast_floats(v_params, dtype)
+                spker_embeds = cast_floats(spker_embeds, dtype)
             out = model.apply(
                 {"params": g_params, "batch_stats": batch_stats},
                 speakers=speakers, texts=texts, src_lens=src_lens,
@@ -71,8 +89,10 @@ class TTSPipeline:
                 # aux mel_pred is the diffuse trace; element 0 is the
                 # clamped normalized mel (matches `utils/tools.py:227-229`)
                 mel = model.schedule.denorm_spec(mel[0])
-            wav = vocoder.module.apply({"params": v_params}, mel * in_scale)
-            return wav, mel, out.mel_lens
+            wav = vocoder.module.apply(
+                {"params": v_params}, (mel * in_scale).astype(dtype))
+            return wav.astype(jnp.float32), mel.astype(jnp.float32), \
+                out.mel_lens
 
         self._programs[key] = run
         return run

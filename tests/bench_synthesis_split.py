@@ -95,6 +95,24 @@ def main():
     print(f"combined : {t_comb * 1e3:8.3f} ms (one XLA program)")
     print(f"chained  : {t_chain * 1e3:8.3f} ms (two dispatches)")
 
+    # bf16 compute (tpu.compute_dtype knob) via the serving pipeline
+    import copy
+    from mixgantts_tpu.pipeline import TTSPipeline
+    for dt in ("float32", "bfloat16"):
+        cfg = copy.deepcopy(model_cfg)
+        cfg.setdefault("tpu", {})["compute_dtype"] = dt
+        pipe = TTSPipeline(model, variables, vocoder, pre_cfg, cfg)
+        rng = jax.random.PRNGKey(7)
+        pipe(batch, rng=rng)  # warmup/compile
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            for _ in range(20):
+                out = pipe(batch, rng=rng)
+            best = min(best, (time.perf_counter() - start) / 20)
+        print(f"pipeline[{dt:9s}]: {best * 1e3:8.3f} ms "
+              f"(host roundtrip included)")
+
 
 if __name__ == "__main__":
     main()

@@ -121,3 +121,34 @@ def test_pipeline_control_knobs_do_not_recompile():
     assert len(pipe._programs) == 1
     # duration control actually lengthens the output
     assert lens2.sum() >= lens1.sum()
+
+
+def test_pipeline_bfloat16_compute():
+    """tpu.compute_dtype: bfloat16 runs the same program in bf16 and stays
+    close to the fp32 output (same rng -> same diffusion noise)."""
+    import copy
+
+    model = tiny_model("naive")
+    batch = text_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+
+    cfg16 = copy.deepcopy(MODEL_CONFIG)
+    cfg16["tpu"]["compute_dtype"] = "bfloat16"
+    rng = jax.random.PRNGKey(7)
+    pipe32 = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                         MODEL_CONFIG)
+    pipe16 = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG, cfg16)
+    wav32, mel32, len32 = pipe32(batch, rng=rng)
+    wav16, mel16, len16 = pipe16(batch, rng=rng)
+    assert mel16.dtype == np.float32  # outputs come back fp32
+    np.testing.assert_array_equal(np.asarray(len32), np.asarray(len16))
+    # bf16 has ~3 decimal digits; demand closeness, not parity
+    scale = max(np.abs(mel32).max(), 1e-3)
+    assert np.abs(mel16 - mel32).mean() / scale < 0.05
