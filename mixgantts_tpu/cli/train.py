@@ -87,7 +87,9 @@ def main(args, configs):
         state = replicate_state(mesh, state)
         put = lambda b: shard_batch(mesh, b)
     else:
-        step_fn = jax.jit(step_fn)
+        # donate the train state: params/optimizer buffers update in place
+        # instead of allocating a second copy every step
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
         put = lambda b: b
     eval_fn = jax.jit(make_eval_step(mode, model, discriminator,
                                      model_config, train_config))

@@ -49,9 +49,11 @@ def replicate_state(mesh, state):
 
 def shard_train_step(step_fn, mesh):
     """jit the train step with state replicated and the batch sharded on
-    'data'; XLA inserts the psum over ICI for the gradient reduction."""
+    'data'; XLA inserts the psum over ICI for the gradient reduction.  The
+    state is donated so params/optimizer buffers update in place."""
     return jax.jit(
         step_fn,
         in_shardings=(replicated(mesh), batch_sharding(mesh)),
         out_shardings=(replicated(mesh), replicated(mesh)),
+        donate_argnums=(0,),
     )

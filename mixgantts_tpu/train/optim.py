@@ -25,33 +25,43 @@ def fs2_lr_schedule(d_model, warmup_steps, anneal_steps, anneal_rate):
     return schedule
 
 
+def _accumulate(opt, every_k):
+    """Gradient accumulation (`grad_acc_step` in train.yaml; the reference
+    divides the loss by grad_acc_step and steps every k batches,
+    `train.py:75-85`): optax.MultiSteps averages grads over k calls and
+    applies the inner optimizer once, which is the same update."""
+    if every_k and every_k > 1:
+        return optax.MultiSteps(opt, every_k_schedule=int(every_k))
+    return opt
+
+
 def build_fs2_optimizer(model_config, train_config):
     fs2 = train_config["optimizer_fs2"]
     clip = train_config["optimizer"]["grad_clip_thresh"]
     schedule = fs2_lr_schedule(
         model_config["transformer"]["encoder_hidden"],
         fs2["warm_up_step"], fs2["anneal_steps"], fs2["anneal_rate"])
-    return optax.chain(
+    return _accumulate(optax.chain(
         optax.clip_by_global_norm(clip),
         optax.scale_by_adam(b1=fs2["betas"][0], b2=fs2["betas"][1],
                             eps=fs2["eps"]),
         optax.add_decayed_weights(fs2.get("weight_decay", 0.0)),
         optax.scale_by_schedule(schedule),
         optax.scale(-1.0),
-    )
+    ), train_config["optimizer"].get("grad_acc_step", 1))
 
 
-def build_gan_optimizer(betas, clip):
+def build_gan_optimizer(betas, clip, grad_acc_step=1):
     """Adam without a baked-in learning rate: the per-epoch ExponentialLR
     value (init_lr * gamma^epoch, tracked in TrainState.lr_g / lr_d on the
     host) is injected per step via `optax.scale_by_learning_rate` impossible
     to schedule by step — so the step fn scales updates by the lr scalar
     itself."""
-    return optax.chain(
+    return _accumulate(optax.chain(
         optax.clip_by_global_norm(clip),
         optax.scale_by_adam(b1=betas[0], b2=betas[1]),
         optax.scale(-1.0),
-    )
+    ), grad_acc_step)
 
 
 def apply_lr(updates, lr):

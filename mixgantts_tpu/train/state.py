@@ -53,7 +53,8 @@ def create_train_state(rng, model, discriminator, example_batch, train_config,
     )["params"]
 
     opt_g_fs2 = build_fs2_optimizer(model_config, train_config)
-    opt_gan = build_gan_optimizer(opt["betas"], opt["grad_clip_thresh"])
+    opt_gan = build_gan_optimizer(opt["betas"], opt["grad_clip_thresh"],
+                                  opt.get("grad_acc_step", 1))
 
     return TrainState(
         step=jnp.asarray(restore_step, jnp.int32),

@@ -36,7 +36,9 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
     sched = model.schedule
     opt_fs2 = build_fs2_optimizer(model_config, train_config)
     opt_cfg = train_config["optimizer"]
-    opt_gan = build_gan_optimizer(opt_cfg["betas"], opt_cfg["grad_clip_thresh"])
+    opt_gan = build_gan_optimizer(opt_cfg["betas"],
+                                  opt_cfg["grad_clip_thresh"],
+                                  opt_cfg.get("grad_acc_step", 1))
 
     def g_forward(g_params, batch_stats, batch, rngs, train=True):
         variables = {"params": g_params, "batch_stats": batch_stats}

@@ -103,3 +103,27 @@ def test_ctc_helper_mode():
     state1, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["helper_loss"]))
     assert float(metrics["helper_loss"]) != 0.0
+
+
+def test_grad_accumulation_matches_mean_grad():
+    """grad_acc_step=k: k accumulation calls == one step on the mean grad
+    (the reference's loss/k + step-every-k semantics, train.py:75-85)."""
+    import jax
+    import jax.numpy as jnp
+    from mixgantts_tpu.train.optim import build_gan_optimizer, apply_lr
+
+    params = {"w": jnp.ones((4,))}
+    g1 = {"w": jnp.full((4,), 0.5)}
+    g2 = {"w": jnp.full((4,), 1.5)}
+    g_mean = {"w": (g1["w"] + g2["w"]) / 2}
+
+    acc = build_gan_optimizer((0.5, 0.9), 10.0, grad_acc_step=2)
+    st = acc.init(params)
+    up1, st = acc.update(g1, st, params)
+    assert float(jnp.abs(up1["w"]).max()) == 0.0  # no update mid-window
+    up2, st = acc.update(g2, st, params)
+
+    plain = build_gan_optimizer((0.5, 0.9), 10.0)
+    pst = plain.init(params)
+    upm, _ = plain.update(g_mean, pst, params)
+    assert jnp.allclose(up2["w"], upm["w"], atol=1e-7)
