@@ -1,0 +1,80 @@
+"""Manual TPU benchmark: full-size LJSpeech naive GAN train step.
+
+Run directly: python tests/bench_train_step.py [mode]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main(mode="naive"):
+    from __graft_entry__ import _flagship_model
+    from mixgantts_tpu.cli.common import enable_compilation_cache
+    from mixgantts_tpu.models.discriminator import JCUDiscriminator
+    from mixgantts_tpu.train import create_train_state, make_train_step
+
+    enable_compilation_cache()
+    model, (pre_cfg, model_cfg, train_cfg) = _flagship_model(mode)
+    d = model_cfg["discriminator"]
+    disc = JCUDiscriminator(
+        n_mels=80, residual_channels=model_cfg["denoiser"][
+            "residual_channels"],
+        n_channels=tuple(d["n_channels"]),
+        kernel_sizes=tuple(d["kernel_sizes"]),
+        strides=tuple(d["strides"]))
+
+    # LJSpeech-scale batch: 8 utterances, ~512-frame bucket
+    B, P, W, T = 8, 128, 48, 512
+    r = np.random.RandomState(0)
+    wb = r.randint(1, 4, (B, W)).astype(np.int32)
+    src_lens = wb.sum(-1).astype(np.int32)
+    texts = np.zeros((B, P), np.int64)
+    for b in range(B):
+        texts[b, :src_lens[b]] = r.randint(1, 300, src_lens[b])
+    d_targets = np.zeros((B, P), np.int32)
+    for b in range(B):
+        d_targets[b, :src_lens[b]] = r.randint(2, 8, src_lens[b])
+    mel_lens = np.minimum(d_targets.sum(-1), T).astype(np.int32)
+    batch = dict(
+        speakers=np.zeros((B,), np.int32), texts=texts, src_lens=src_lens,
+        word_boundaries=wb, src_w_lens=np.full((B,), W, np.int32),
+        mels=r.randn(B, T, 80).astype(np.float32), mel_lens=mel_lens,
+        attn_priors=np.ones((B, P, T), np.float32) / P,
+        p_targets=r.randn(B, P).astype(np.float32),
+        e_targets=r.randn(B, P).astype(np.float32),
+        d_targets=d_targets,
+    )
+
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc,
+        {**batch, "max_mel_len": T}, train_cfg, model_cfg)
+    step_fn = jax.jit(
+        make_train_step(mode, model, disc, model_cfg, train_cfg),
+        donate_argnums=(0,))
+
+    state, metrics = step_fn(state, batch)  # compile
+    jax.block_until_ready(metrics["total_loss"])
+
+    iters = 20
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["total_loss"])
+        best = min(best, (time.perf_counter() - start) / iters)
+    frames = int(mel_lens.sum())
+    print(f"backend={jax.default_backend()} mode={mode} B={B} T={T}")
+    print(f"train step: {best * 1e3:8.2f} ms  "
+          f"({frames / best:,.0f} mel-frames/s/chip, "
+          f"{1.0 / best:.2f} it/s)")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
