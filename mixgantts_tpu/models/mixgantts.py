@@ -240,6 +240,13 @@ class MixGANTTS(nn.Module):
         maskf = mel_mask[..., None].astype(output.dtype)
 
         if self.mode == "aux":
+            if self.is_initializing():
+                # create denoiser params even though aux never runs it:
+                # the reference's aux checkpoint carries the (random)
+                # denoiser weights that shallow training restores from
+                # (`utils/model.py:18-29`, aux->shallow handoff)
+                t0 = jnp.zeros((B,), dtype=jnp.int32)
+                denoiser(jnp.zeros_like(coarse_mel), t0, output, speaker_emb)
             rng = self.make_rng("diffusion")
             mel_pred = sched.diffuse_trace(rng, coarse_mel, mel_mask)
         else:

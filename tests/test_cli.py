@@ -196,3 +196,44 @@ def test_synthesize_batch_teacher_forced(workspace, monkeypatch):
     wavs = [f for f in os.listdir(result_dir)
             if f.endswith("_teacher_forced.wav")]
     assert len(wavs) >= 1
+
+
+def test_aux_to_shallow_handoff(workspace):
+    """Two-stage active shallow diffusion: train aux, restore its checkpoint
+    for shallow GAN training (optimizers reset, weights — including the
+    aux-init denoiser — loaded), then synthesize with the shallow model."""
+    from mixgantts_tpu.cli.common import load_configs
+    from mixgantts_tpu.cli.train import main
+
+    args = _args(model="aux", dataset="TestCorpus", restore_step=0,
+                 path_tag="", seed=0, data_parallel=False)
+    configs = load_configs(args)
+    main(args, configs)
+    ckpt_dir = configs[2]["path"]["ckpt_path"]
+    assert ckpt_dir.endswith("_shallow")  # aux and shallow share the dir
+    assert os.path.isdir(os.path.join(ckpt_dir, "4"))
+
+    # gating: restoring before total_step_aux must be refused
+    bad = _args(model="shallow", dataset="TestCorpus", restore_step=2,
+                path_tag="", seed=0, data_parallel=False)
+    with pytest.raises(AssertionError, match="finished aux checkpoint"):
+        load_configs(bad)
+
+    args2 = _args(model="shallow", dataset="TestCorpus", restore_step=4,
+                  path_tag="", seed=0, data_parallel=False)
+    configs2 = load_configs(args2)
+    main(args2, configs2)  # one shallow GAN step through the aux weights
+
+    monkey_argv = ["synthesize.py", "--restore_step", "4", "--model",
+                   "shallow", "--mode", "single", "--text", "hello world",
+                   "--dataset", "TestCorpus"]
+    old_argv = sys.argv
+    sys.argv = monkey_argv
+    try:
+        from mixgantts_tpu.cli import synthesize as syn
+        syn.cli()
+    finally:
+        sys.argv = old_argv
+    result_dir = os.path.join(
+        workspace, "output/result/TestCorpus_shallow", "4")
+    assert any(f.endswith(".wav") for f in os.listdir(result_dir))
