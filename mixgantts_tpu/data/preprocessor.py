@@ -314,7 +314,41 @@ class Preprocessor:
         write_list("filtered_out.txt", sorted(filtered_out))
         print(f"Total time: "
               f"{n_frames * self.hop_length / self.sampling_rate / 3600} hours")
+
+        if spk_embeds:
+            # t-SNE panel of per-utterance embeddings, colored by gender
+            # when the corpus ships a VCTK-style speaker-info.txt
+            # (`preprocessor/preprocessor.py:219-224,481-489`)
+            print("Plot speaker embedding...")
+            try:
+                from ..utils.plotting import plot_embedding
+                embs, ids = [], []
+                for speaker, vecs in spk_embeds.items():
+                    embs += [np.asarray(v).reshape(-1) for v in vecs]
+                    ids += [speaker] * len(vecs)
+                plot_embedding(
+                    self.out_dir, np.stack(embs), ids,
+                    self._speaker_genders(), filename="spker_embed_tsne.png")
+            except Exception as e:
+                print(f"speaker-embedding plot skipped ({e})")
         return train, val
+
+    def _speaker_genders(self, speaker_path="speaker-info.txt"):
+        """VCTK-style 'ID AGE GENDER ...' table; empty dict when absent
+        (plot defaults every speaker to one class)."""
+        import re
+        path = os.path.join(self.config["path"].get("corpus_path", ""),
+                            speaker_path)
+        genders = {}
+        if os.path.isfile(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    if "ID" in line:
+                        continue
+                    parts = re.sub(" +", " ", line.strip()).split(" ")
+                    if len(parts) >= 3:
+                        genders[parts[0]] = parts[2]
+        return genders
 
     def _val_prior_names(self):
         path = os.path.join(self.out_dir, "val.txt")

@@ -54,7 +54,8 @@ def plot_embedding(out_dir, embedding, embedding_speaker_id, gender_dict,
     data_y = np.array([
         gender_dict.get(spk_id, "M") == "M"
         for spk_id in embedding_speaker_id], dtype=int)
-    tsne_model = TSNE(n_components=2, random_state=0, init="random")
+    tsne_model = TSNE(n_components=2, random_state=0, init="random",
+                      perplexity=min(30.0, max(1.0, len(data_x) - 1)))
     tsne_all_data = tsne_model.fit_transform(data_x)
 
     plt.figure(figsize=(10, 10))

@@ -118,6 +118,8 @@ def test_preprocess_speaker_artifacts(ms_workspace):
     e0 = np.load(os.path.join(pre, "spker_embed", "0-spker_embed.npy"))
     e1 = np.load(os.path.join(pre, "spker_embed", "1-spker_embed.npy"))
     assert not np.allclose(e0, e1)
+    # t-SNE panel written at preprocess time (reference parity)
+    assert os.path.isfile(os.path.join(pre, "spker_embed_tsne.png"))
 
 
 def test_train_multispeaker_naive(ms_workspace):
