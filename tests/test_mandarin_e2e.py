@@ -1,0 +1,126 @@
+"""Mandarin end-to-end slice (the AISHELL3-shaped text path): pinyin corpus
+-> preprocess (pinyin phone set in the TextGrids) -> naive training ->
+synthesis from numbered-pinyin input through preprocess_mandarin.
+
+Covers the zh language routing of the synthesize CLI
+(`synthesize.py:70-103, 279-293` in the reference)."""
+
+import copy
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import yaml
+
+from test_data_pipeline import (
+    IntervalTier, PREPROCESS_CONFIG, SR, save_wav, write_textgrid,
+)
+from test_cli import TINY_MODEL_YAML, TINY_TRAIN_YAML
+
+
+def make_pinyin_corpus(root, n_utts=6):
+    raw = os.path.join(root, "raw_data", "zh0")
+    tg_dir = os.path.join(root, "preprocessed", "TextGrid", "zh0")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(tg_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for k in range(n_utts):
+        dur = 0.30 + 0.1 * k
+        n = int(SR * dur)
+        t = np.arange(n) / SR
+        wav = (0.4 * np.sin(2 * np.pi * (120 + 40 * k) * t)
+               + 0.01 * rng.randn(n)).astype(np.float32)
+        save_wav(os.path.join(raw, f"utt{k}.wav"), wav, SR)
+        with open(os.path.join(raw, f"utt{k}.lab"), "w") as f:
+            f.write("ni3 hao3")
+        q = dur / 5.0
+        phones = [(0.0, q, "n"), (q, 2 * q, "i3"),
+                  (2 * q, 3 * q, "h"), (3 * q, 4 * q, "ao3"),
+                  (4 * q, 5 * q, "sil")]
+        words = [(0.0, 2 * q, "ni3"), (2 * q, 4 * q, "hao3"),
+                 (4 * q, 5 * q, "")]
+        write_textgrid(
+            os.path.join(tg_dir, f"utt{k}.TextGrid"),
+            [IntervalTier("words", words), IntervalTier("phones", phones)],
+            xmax=dur)
+
+
+@pytest.fixture(scope="module")
+def zh_workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("zh_ws"))
+    make_pinyin_corpus(root)
+
+    pre_cfg = copy.deepcopy(PREPROCESS_CONFIG)
+    pre_cfg["dataset"] = "ZhCorpus"
+    pre_cfg["preprocessing"]["text"] = {
+        "text_cleaners": [], "language": "zh",
+        "sub_divide_word": False, "max_phoneme_num": 7,
+    }
+    pre_cfg["path"] = {
+        "corpus_path": root,
+        "lexicon_path": os.path.join(root, "pinyin-lexicon.txt"),
+        "raw_path": os.path.join(root, "raw_data"),
+        "preprocessed_path": os.path.join(root, "preprocessed"),
+    }
+    with open(pre_cfg["path"]["lexicon_path"], "w") as f:
+        f.write("ni3 n i3\nhao3 h ao3\n")
+
+    train_cfg = copy.deepcopy(TINY_TRAIN_YAML)
+    train_cfg["path"] = {
+        "ckpt_path": os.path.join(root, "output/ckpt/ZhCorpus"),
+        "log_path": os.path.join(root, "output/log/ZhCorpus"),
+        "result_path": os.path.join(root, "output/result/ZhCorpus"),
+    }
+
+    cfg_dir = os.path.join(root, "config", "ZhCorpus")
+    os.makedirs(cfg_dir, exist_ok=True)
+    for name, cfg in [("preprocess.yaml", pre_cfg),
+                      ("model.yaml", TINY_MODEL_YAML),
+                      ("train.yaml", train_cfg)]:
+        with open(os.path.join(cfg_dir, name), "w") as f:
+            yaml.dump(cfg, f)
+
+    from mixgantts_tpu.data.preprocessor import Preprocessor
+    Preprocessor(pre_cfg, TINY_MODEL_YAML, train_cfg).build_from_path()
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    yield root
+    os.chdir(cwd)
+
+
+def _args(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def test_zh_preprocess_uses_pinyin_symbols(zh_workspace):
+    pre = os.path.join(zh_workspace, "preprocessed")
+    with open(os.path.join(pre, "train.txt"), encoding="utf-8") as f:
+        line = f.readline().strip()
+    _, _, phones, raw = line.split("|")
+    assert "n" in phones and "i3" in phones
+    assert raw == "ni3 hao3"
+
+
+def test_zh_train_and_synthesize(zh_workspace):
+    from mixgantts_tpu.cli.common import load_configs
+    from mixgantts_tpu.cli.train import main
+
+    args = _args(model="naive", dataset="ZhCorpus", restore_step=0,
+                 path_tag="", seed=0, data_parallel=False)
+    main(args, load_configs(args))
+
+    from mixgantts_tpu.cli import synthesize as syn
+    old_argv = sys.argv
+    sys.argv = ["synthesize.py", "--restore_step", "4", "--model", "naive",
+                "--mode", "single", "--text", "ni3 hao3",
+                "--dataset", "ZhCorpus"]
+    try:
+        syn.cli()
+    finally:
+        sys.argv = old_argv
+    result_dir = os.path.join(
+        zh_workspace, "output/result/ZhCorpus_naive", "4")
+    assert any(f.endswith(".wav") for f in os.listdir(result_dir))
