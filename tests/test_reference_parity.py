@@ -337,3 +337,79 @@ def test_discriminator_parity(ref_modules, tmp_path):
     for g, w in zip(got_u, want_u):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 2, 1),
                                    w.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_full_generator_aux_parity(ref_modules, tmp_path):
+    """Whole-chain aux forward (speaker-emb off, teacher-forced, no
+    dropout): the converted reference generator and ours must agree on the
+    deterministic outputs — postnet coarse mel, pitch/energy/duration
+    predictions — through the full encoder->decoder->postnet wiring
+    (reference `model/mixgantts.py:55-180`, output[15] = postnet)."""
+    import jax
+    import numpy as np
+
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    train_cfg["loss"]["noise_loss"] = "l1"
+    # the reference hardcodes PostNet() at 80 mel channels
+    # (`model/mixgantts.py:31`, `transformer/Layers.py:67`)
+    M = 80
+    pre_cfg["preprocessing"]["mel"]["n_mel_channels"] = M
+    model_cfg["denoiser"]["keep_bins"] = M
+    stats = json.load(open(os.path.join(str(tmp_path), "stats.json")))
+    stats["spec_min"], stats["spec_max"] = [-12.0] * M, [2.0] * M
+    json.dump(stats, open(os.path.join(str(tmp_path), "stats.json"), "w"))
+    torch.manual_seed(3)
+    args = types.SimpleNamespace(model="aux")
+    ref = ref_modules.mix.MixGANTTS(args, pre_cfg, model_cfg, train_cfg)
+    ref.eval()
+
+    inp = torch_inputs(seed=3)
+    mel_lens = inp["d_targets"].sum(-1)
+    T = int(mel_lens.max())
+    B = inp["B"]
+    mels = np.random.RandomState(9).randn(B, T, M).astype(np.float32)
+
+    with torch.no_grad():
+        out_list, _, coarse = ref(
+            torch.zeros(B, dtype=torch.long),
+            torch.tensor(inp["texts"]), torch.tensor(inp["src_lens"]),
+            inp["P"], torch.tensor(inp["wb"]),
+            torch.tensor(inp["src_w_lens"]), inp["W"],
+            mels=torch.tensor(mels),
+            mel_lens=torch.tensor(mel_lens), max_mel_len=T,
+            p_targets=torch.tensor(inp["p_targets"]),
+            e_targets=torch.tensor(inp["e_targets"]),
+            d_targets=torch.tensor(inp["d_targets"]))
+    ref_postnet = out_list[15].numpy()
+    ref_pitch = out_list[4].numpy()
+    ref_dw = out_list[7].numpy()
+
+    from mixgantts_tpu.config import NormStats
+    from mixgantts_tpu.convert import convert_generator
+    from mixgantts_tpu.models.mixgantts import MixGANTTS
+
+    stats = NormStats.load(str(tmp_path), n_mels=M)
+    model = MixGANTTS.from_configs("aux", pre_cfg, model_cfg, stats)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, batch_stats = convert_generator(
+        sd, "aux", encoder_layers=2, decoder_layers=2, denoiser_layers=3)
+
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        speakers=np.zeros(B, np.int32), texts=inp["texts"],
+        src_lens=inp["src_lens"], word_boundaries=inp["wb"],
+        src_w_lens=inp["src_w_lens"], max_mel_len=T,
+        mels=mels, mel_lens=mel_lens,
+        p_targets=inp["p_targets"], e_targets=inp["e_targets"],
+        d_targets=inp["d_targets"], train=False,
+        rngs={"diffusion": jax.random.PRNGKey(0)})
+
+    np.testing.assert_allclose(np.asarray(out.dur_w_rounded), ref_dw, atol=0)
+    m = np.asarray(out.mel_mask)[..., None]
+    got = np.asarray(out.postnet_output) * m
+    want = ref_postnet * m
+    assert np.abs(got - want).mean() < 1e-3  # the BASELINE.md mel-MAE bar
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+    pm = np.asarray(out.src_mask)
+    np.testing.assert_allclose(np.asarray(out.pitch_pred) * pm,
+                               ref_pitch * pm, rtol=2e-3, atol=2e-4)
