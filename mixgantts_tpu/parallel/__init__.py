@@ -1,1 +1,4 @@
-from .mesh import make_mesh, shard_batch, replicate_state, shard_train_step
+from .mesh import (
+    batch_sharding, make_mesh, replicate_state, replicated, shard_batch,
+    shard_train_step,
+)

@@ -13,6 +13,8 @@ pitch/energy/duration control knobs are traced scalars — changing them never
 recompiles.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,14 +37,19 @@ class TTSPipeline:
     pipeline = TTSPipeline(model, variables, vocoder, preprocess_config,
                            model_config)
     wavs = pipeline(batch)          # list of int16 waveforms
+
+    Pass `mesh` (from `parallel.make_mesh`) to shard batched synthesis over
+    the 'data' axis: params replicate, every per-utterance input/output
+    splits across chips, and batch size must divide the axis.
     """
 
     def __init__(self, model, variables, vocoder, preprocess_config,
-                 model_config):
+                 model_config, mesh=None):
         self.model = model
         self.variables = variables
         self.vocoder = vocoder
         self.preprocess_config = preprocess_config
+        self.mesh = mesh
         tpu_cfg = model_config.get("tpu", {}) or {}
         self.length_buckets = tuple(tpu_cfg.get("length_buckets", ()))
         self.phone_buckets = tuple(tpu_cfg.get("phone_buckets", ()))
@@ -69,7 +76,19 @@ class TTSPipeline:
         in_scale = 1.0 / math.log(10.0) if vocoder.name == "MelGAN" else 1.0
         dtype = self.compute_dtype
 
-        @jax.jit
+        jit_kwargs = {}
+        if self.mesh is not None:
+            from .parallel import batch_sharding, replicated
+            rep, dat = replicated(self.mesh), batch_sharding(self.mesh)
+            # (params, stats, vparams, rng) replicate; per-utterance
+            # tensors shard on 'data'; control scalars replicate
+            jit_kwargs = dict(
+                in_shardings=(rep, rep, rep, rep, dat, dat, dat, dat, dat,
+                              rep if not has_spk else dat, rep, rep, rep),
+                out_shardings=(dat, dat, dat),
+            )
+
+        @functools.partial(jax.jit, **jit_kwargs)
         def run(g_params, batch_stats, v_params, rng, speakers, texts,
                 src_lens, word_boundaries, src_w_lens, spker_embeds,
                 p_control, e_control, d_control):

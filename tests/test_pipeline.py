@@ -152,3 +152,34 @@ def test_pipeline_bfloat16_compute():
     # bf16 has ~3 decimal digits; demand closeness, not parity
     scale = max(np.abs(mel32).max(), 1e-3)
     assert np.abs(mel16 - mel32).mean() / scale < 0.05
+
+
+def test_pipeline_mesh_sharded():
+    """Batched synthesis sharded over the 'data' mesh axis matches the
+    single-device pipeline (same rng)."""
+    import jax
+    from mixgantts_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+
+    model = tiny_model("naive")
+    batch = text_batch(B=8, P=10, W=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+
+    rng = jax.random.PRNGKey(11)
+    single = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                         MODEL_CONFIG)
+    sharded = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                          MODEL_CONFIG, mesh=make_mesh())
+    wav_s, mel_s, len_s = single(batch, rng=rng)
+    wav_m, mel_m, len_m = sharded(batch, rng=rng)
+    np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_m))
+    np.testing.assert_allclose(mel_m, mel_s, atol=1e-4, rtol=1e-4)
