@@ -413,3 +413,115 @@ def test_full_generator_aux_parity(ref_modules, tmp_path):
     pm = np.asarray(out.src_mask)
     np.testing.assert_allclose(np.asarray(out.pitch_pred) * pm,
                                ref_pitch * pm, rtol=2e-3, atol=2e-4)
+
+
+def test_aux_loss_parity(ref_modules, tmp_path):
+    """The deterministic loss components (postnet/pitch/energy/duration/
+    guided-attention, feature matching, LSGAN d/g) of the reference's
+    MixGANTTSLoss (`model/loss.py:39-259`) vs ours, on the same converted-
+    weight forward."""
+    import jax
+    import numpy as np
+
+    import model.loss as ref_loss_py
+
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    train_cfg["loss"].update(
+        noise_loss="l1", lambda_d=0.1, lambda_p=0.1, lambda_e=0.1,
+        lambda_fm=10.0, lambda_fm_shallow=0.001)
+    train_cfg["aligner"].update(
+        guided_sigma=0.4, guided_lambda=1.0, guided_weight=1.0)
+    M = 80
+    pre_cfg["preprocessing"]["mel"]["n_mel_channels"] = M
+    model_cfg["denoiser"]["keep_bins"] = M
+    stats = json.load(open(os.path.join(str(tmp_path), "stats.json")))
+    stats["spec_min"], stats["spec_max"] = [-12.0] * M, [2.0] * M
+    json.dump(stats, open(os.path.join(str(tmp_path), "stats.json"), "w"))
+
+    torch.manual_seed(5)
+    args = types.SimpleNamespace(model="aux")
+    ref = ref_modules.mix.MixGANTTS(args, pre_cfg, model_cfg, train_cfg)
+    ref.eval()
+    ref_loss = ref_loss_py.MixGANTTSLoss(args, pre_cfg, model_cfg, train_cfg)
+
+    inp = torch_inputs(seed=5)
+    mel_lens = inp["d_targets"].sum(-1)
+    T = int(mel_lens.max())
+    B = inp["B"]
+    mels = np.random.RandomState(13).randn(B, T, M).astype(np.float32)
+
+    targs = dict(
+        mels=torch.tensor(mels), mel_lens=torch.tensor(mel_lens),
+        max_mel_len=T, p_targets=torch.tensor(inp["p_targets"]),
+        e_targets=torch.tensor(inp["e_targets"]),
+        d_targets=torch.tensor(inp["d_targets"]))
+    with torch.no_grad():
+        predictions, _, _ = ref(
+            torch.zeros(B, dtype=torch.long),
+            torch.tensor(inp["texts"]), torch.tensor(inp["src_lens"]),
+            inp["P"], torch.tensor(inp["wb"]),
+            torch.tensor(inp["src_w_lens"]), inp["W"], **targs)
+        # 17-field batch tuple; the loss reads inputs[3:]
+        inputs = (None, None, None,
+                  torch.tensor(inp["texts"]), None, None, None, None, None,
+                  None, None, torch.tensor(mels), None, None,
+                  torch.tensor(inp["p_targets"]),
+                  torch.tensor(inp["e_targets"]),
+                  torch.tensor(inp["d_targets"]))
+        wrapped = types.SimpleNamespace(module=ref)
+        (fm0, recon, mel_l, post_l, pitch_l, energy_l, dur_l,
+         helper_l) = ref_loss(wrapped, inputs, predictions, step=1)
+
+    from mixgantts_tpu.config import NormStats
+    from mixgantts_tpu.convert import convert_generator
+    from mixgantts_tpu.losses import LossConfig, generator_loss
+    from mixgantts_tpu.models.mixgantts import MixGANTTS
+
+    nstats = NormStats.load(str(tmp_path), n_mels=M)
+    model = MixGANTTS.from_configs("aux", pre_cfg, model_cfg, nstats)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, batch_stats = convert_generator(
+        sd, "aux", encoder_layers=2, decoder_layers=2, denoiser_layers=3)
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        speakers=np.zeros(B, np.int32), texts=inp["texts"],
+        src_lens=inp["src_lens"], word_boundaries=inp["wb"],
+        src_w_lens=inp["src_w_lens"], max_mel_len=T, mels=mels,
+        mel_lens=mel_lens, p_targets=inp["p_targets"],
+        e_targets=inp["e_targets"], d_targets=inp["d_targets"],
+        train=False, rngs={"diffusion": jax.random.PRNGKey(0)})
+
+    cfg = LossConfig.from_configs("aux", model_cfg, train_cfg)
+    ours = generator_loss(cfg, model.schedule, out, mels,
+                          inp["p_targets"], inp["e_targets"], step=1)
+
+    for ref_v, key in [(post_l, "postnet_loss"), (pitch_l, "pitch_loss"),
+                       (energy_l, "energy_loss"), (dur_l, "duration_loss"),
+                       (helper_l, "helper_loss")]:
+        np.testing.assert_allclose(
+            float(ours[key]), float(ref_v), rtol=5e-3, atol=5e-5,
+            err_msg=key)
+
+    # feature matching on identical synthetic D feature lists
+    r = np.random.RandomState(7)
+    feats = [r.randn(B, 10, 8).astype(np.float32) for _ in range(5)]
+    fakes = [r.randn(B, 10, 8).astype(np.float32) for _ in range(5)]
+    ref_fm = ref_loss.get_fm_loss(
+        [torch.tensor(f) for f in feats], [torch.tensor(f) for f in feats],
+        [torch.tensor(f) for f in fakes], [torch.tensor(f) for f in fakes])
+    from mixgantts_tpu.losses import feature_matching_loss
+    got_fm = feature_matching_loss(feats, feats, fakes, fakes,
+                                   n_layers=cfg.n_disc_layers)
+    np.testing.assert_allclose(float(got_fm), float(ref_fm), rtol=1e-5)
+
+    # LSGAN d/g on fixed logits
+    rc, ru = torch.tensor(r.randn(B, 6)), torch.tensor(r.randn(B, 6))
+    fc, fu = torch.tensor(r.randn(B, 6)), torch.tensor(r.randn(B, 6))
+    ref_r, ref_f = ref_loss.d_loss_fn(rc, ru, fc, fu)
+    ref_g = ref_loss.g_loss_fn(fc, fu)
+    from mixgantts_tpu.losses import d_loss_fn as our_d, g_loss_fn as our_g
+    got_r, got_f = our_d(rc.numpy(), ru.numpy(), fc.numpy(), fu.numpy())
+    got_g = our_g(fc.numpy(), fu.numpy())
+    np.testing.assert_allclose(float(got_r), float(ref_r), rtol=1e-5)
+    np.testing.assert_allclose(float(got_f), float(ref_f), rtol=1e-5)
+    np.testing.assert_allclose(float(got_g), float(ref_g), rtol=1e-5)
