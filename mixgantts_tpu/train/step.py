@@ -30,8 +30,21 @@ def _model_kwargs(batch):
     return kw
 
 
+def _cast_floats(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def make_train_step(mode, model, discriminator, model_config, train_config):
-    """Returns step_fn(state, batch) -> (state, metrics); jit/pjit-ready."""
+    """Returns step_fn(state, batch) -> (state, metrics); jit/pjit-ready.
+
+    tpu.compute_dtype: bfloat16 runs the generator/discriminator forwards
+    in bf16 (mixed precision: fp32 master weights and optimizer state,
+    fp32 losses; jax.grad of the cast yields fp32 grads).  Opt-in — the
+    float32 default matches the reference's numerics."""
     loss_cfg = LossConfig.from_configs(mode, model_config, train_config)
     sched = model.schedule
     opt_fs2 = build_fs2_optimizer(model_config, train_config)
@@ -39,13 +52,31 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
     opt_gan = build_gan_optimizer(opt_cfg["betas"],
                                   opt_cfg["grad_clip_thresh"],
                                   opt_cfg.get("grad_acc_step", 1))
+    tpu_cfg = model_config.get("tpu", {}) or {}
+    compute_dtype = jnp.dtype(tpu_cfg.get("compute_dtype", "float32"))
+    mixed = compute_dtype != jnp.float32
 
     def g_forward(g_params, batch_stats, batch, rngs, train=True):
+        if mixed:
+            g_params = _cast_floats(g_params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
         variables = {"params": g_params, "batch_stats": batch_stats}
         out, mut = model.apply(
             variables, **_model_kwargs(batch), train=train, rngs=rngs,
             mutable=["batch_stats"])
+        if mixed:
+            out = _cast_floats(out, jnp.float32)
         return out, mut.get("batch_stats", batch_stats)
+
+    def d_apply(d_params, *args):
+        if mixed:
+            d_params = _cast_floats(d_params, compute_dtype)
+            args = _cast_floats(args, compute_dtype)
+        feats_c, feats_u = discriminator.apply({"params": d_params}, *args)
+        if mixed:
+            feats_c = _cast_floats(feats_c, jnp.float32)
+            feats_u = _cast_floats(feats_u, jnp.float32)
+        return feats_c, feats_u
 
     def recon_losses(out, batch, step):
         return generator_loss(
@@ -99,10 +130,8 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
         t = out1.diffusion_step
 
         def d_loss(d_params):
-            fake_c, fake_u = discriminator.apply(
-                {"params": d_params}, x_ts, x_t_prev_preds, spk, t)
-            real_c, real_u = discriminator.apply(
-                {"params": d_params}, x_ts, x_t_prevs, spk, t)
+            fake_c, fake_u = d_apply(d_params, x_ts, x_t_prev_preds, spk, t)
+            real_c, real_u = d_apply(d_params, x_ts, x_t_prevs, spk, t)
             r_loss, f_loss = d_loss_fn(
                 real_c[-1], real_u[-1], fake_c[-1], fake_u[-1])
             return r_loss + f_loss
@@ -120,11 +149,11 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
             out2, new_bs = g_forward(
                 g_params, state.g_batch_stats, batch,
                 {"dropout": r2d, "diffusion": r2f})
-            fake_c, fake_u = discriminator.apply(
-                {"params": new_d_params}, out2.x_ts, out2.x_t_prev_preds,
+            fake_c, fake_u = d_apply(
+                new_d_params, out2.x_ts, out2.x_t_prev_preds,
                 out2.speaker_emb, out2.diffusion_step)
-            real_c, real_u = discriminator.apply(
-                {"params": new_d_params}, out2.x_ts, out2.x_t_prevs,
+            real_c, real_u = d_apply(
+                new_d_params, out2.x_ts, out2.x_t_prevs,
                 out2.speaker_emb, out2.diffusion_step)
             adv_loss = g_loss_fn(fake_c[-1], fake_u[-1])
             losses = generator_loss(

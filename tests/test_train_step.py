@@ -127,3 +127,26 @@ def test_grad_accumulation_matches_mean_grad():
     pst = plain.init(params)
     upm, _ = plain.update(g_mean, pst, params)
     assert jnp.allclose(up2["w"], upm["w"], atol=1e-7)
+
+
+def test_mixed_precision_train_step():
+    """tpu.compute_dtype: bfloat16 — one GAN step runs, losses finite,
+    fp32 master params move."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    model_cfg = copy.deepcopy(MODEL_CONFIG)
+    model_cfg["tpu"] = {"compute_dtype": "bfloat16"}
+    model, disc, state, _, batch, tc = setup("naive")
+    step_fn = jax.jit(make_train_step("naive", model, disc, model_cfg, tc))
+    new_state, metrics = step_fn(state, batch)
+    assert jnp.isfinite(metrics["total_loss"])
+    # master weights stay fp32 and move
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(new_state.g_params))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.g_params, new_state.g_params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
