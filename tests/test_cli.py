@@ -237,3 +237,32 @@ def test_aux_to_shallow_handoff(workspace):
     result_dir = os.path.join(
         workspace, "output/result/TestCorpus_shallow", "4")
     assert any(f.endswith(".wav") for f in os.listdir(result_dir))
+
+
+def test_evaluate_cli_restored(workspace, monkeypatch):
+    """Root-script surface: evaluate a restored checkpoint over val.txt."""
+    from mixgantts_tpu.cli import evaluate as ev
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate.py", "--restore_step", "4", "--model", "naive",
+         "--dataset", "TestCorpus"])
+    ev.cli()  # prints the averaged loss message; must not raise
+
+
+def test_synthesize_batch_from_text(workspace, monkeypatch):
+    """Non-teacher-forced batch mode: synthesize every val.txt utterance
+    from text alone through the serving pipeline."""
+    from mixgantts_tpu.cli import synthesize as syn
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--restore_step", "4", "--model", "naive",
+         "--mode", "batch", "--source", "preprocessed/val.txt",
+         "--dataset", "TestCorpus"])
+    syn.cli()
+    result_dir = os.path.join(
+        workspace, "output/result/TestCorpus_naive", "4")
+    wavs = [f for f in os.listdir(result_dir)
+            if f.endswith(".wav") and "teacher" not in f]
+    assert len(wavs) >= 1
