@@ -67,16 +67,10 @@ class Denoiser(nn.Module):
             from ..ops.pallas import fused_residual_stack, \
                 stack_denoiser_params
             stacked = stack_denoiser_params(self.variables["params"])
-            # the kernel's VMEM scratch accumulates in fp32
-            in_dtype = x.dtype
-            x, skip_sum = fused_residual_stack(
-                x.astype(jnp.float32),
-                cond.astype(jnp.float32),
-                step_emb.astype(jnp.float32),
-                jax.tree_util.tree_map(
-                    lambda w: w.astype(jnp.float32), stacked))
-            x = x.astype(in_dtype)
-            skip_sum = skip_sum.astype(in_dtype)
+            # the kernel accumulates in fp32 scratch; its MXU operand
+            # dtype follows the params (bf16 under the mixed-precision
+            # serving path), so no cast is needed here
+            x, skip_sum = fused_residual_stack(x, cond, step_emb, stacked)
         else:
             skip_sum = jnp.zeros_like(x)
             for i in range(self.residual_layers):

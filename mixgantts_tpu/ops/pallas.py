@@ -78,7 +78,7 @@ def _kernel(T, L, tile, step_ref, x_ref, condp_ref,
 
     @pl.when(l == 0)
     def _():
-        x_s[:] = x_ref[0, 0]
+        x_s[:] = x_ref[0, 0].astype(x_s.dtype)
         skip_s[:] = jnp.zeros_like(skip_s)
 
     C = x_s.shape[-1]
@@ -87,8 +87,12 @@ def _kernel(T, L, tile, step_ref, x_ref, condp_ref,
            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0))
     mask = ((pos >= 0) & (pos < T)).astype(x_s.dtype)
 
-    y0 = x_s[:] + step_ref[0, 0]
-    y = (y0 + condp_ref[0, 0, 0]) * mask
+    # operand dtype = the weights' dtype (bf16 for the mixed-precision
+    # path); scratch accumulation and all dot outputs stay fp32
+    op_dtype = conv_w_ref.dtype
+    y0 = x_s[:] + step_ref[0, 0].astype(jnp.float32)
+    y = ((y0 + condp_ref[0, 0, 0].astype(jnp.float32))
+         * mask).astype(op_dtype)
 
     # k=3 conv as one MXU matmul over [y_{t-1} | y_t | y_{t+1}]
     zero = jnp.zeros((1, C), dtype=y.dtype)
@@ -97,20 +101,20 @@ def _kernel(T, L, tile, step_ref, x_ref, condp_ref,
     y_cat = jnp.concatenate([y_prev, y, y_next], axis=1)  # [tile_h, 3C]
     w_cat = conv_w_ref[0].reshape(3 * C, 2 * C)
     z = jnp.dot(y_cat, w_cat, preferred_element_type=jnp.float32)
-    z = z + conv_b_ref[0]
+    z = z + conv_b_ref[0].astype(jnp.float32)
 
     gate, filt = z[:, :C], z[:, C:]
-    g = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+    g = (jax.nn.sigmoid(gate) * jnp.tanh(filt)).astype(op_dtype)
     o = jnp.dot(g, out_w_ref[0], preferred_element_type=jnp.float32)
-    o = o + out_b_ref[0]
+    o = o + out_b_ref[0].astype(jnp.float32)
 
     x_s[:] = (o[:, :C] + y0) * (1.0 / math.sqrt(2.0))
     skip_s[:] = skip_s[:] + o[:, C:]
 
     @pl.when(l == L - 1)
     def _():
-        x_out_ref[0, 0] = x_s[H:H + tile]
-        skip_out_ref[0, 0] = skip_s[H:H + tile]
+        x_out_ref[0, 0] = x_s[H:H + tile].astype(x_out_ref.dtype)
+        skip_out_ref[0, 0] = skip_s[H:H + tile].astype(skip_out_ref.dtype)
 
 
 def fused_residual_stack(x, cond, step_emb, stacked, tile=None,

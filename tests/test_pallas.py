@@ -83,3 +83,37 @@ def test_fused_stack_single_short_tile():
     out_fused = fused.apply(variables, x_t, t, cond)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fused_stack_bfloat16():
+    """bf16 operands with fp32 accumulation: close to the fp32 kernel."""
+    import jax.numpy as jnp
+
+    L, C, Hc = 4, 32, 48
+    ref, _ = _denoiser_pair(L=L, C=C, Hc=Hc)
+    x_t, t, cond = _inputs(B=1, T=40, Hc=Hc)
+    variables = ref.init(jax.random.PRNGKey(3), x_t, t, cond)
+
+    from mixgantts_tpu.models.blocks import Conv1d, StepEmbeddingMLP
+    params = variables["params"]
+    x = Conv1d(C, 1).apply(
+        {"params": params["input_projection"]}, jnp.asarray(x_t))
+    x = jax.nn.relu(x)
+    step = StepEmbeddingMLP(C, C).apply(
+        {"params": params["mlp"]}, jnp.asarray(t))
+    stacked = stack_denoiser_params(params)
+
+    x32, s32 = fused_residual_stack(x, jnp.asarray(cond), step, stacked,
+                                    interpret=True)
+    cast = lambda tr: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), tr)
+    x16, s16 = fused_residual_stack(
+        x.astype(jnp.bfloat16), jnp.asarray(cond, jnp.bfloat16),
+        step.astype(jnp.bfloat16), cast(stacked), interpret=True)
+    assert x16.dtype == jnp.bfloat16
+    scale = float(np.abs(np.asarray(x32)).max())
+    assert np.abs(np.asarray(x16, np.float32)
+                  - np.asarray(x32)).mean() / scale < 0.02
+    sscale = float(np.abs(np.asarray(s32)).max())
+    assert np.abs(np.asarray(s16, np.float32)
+                  - np.asarray(s32)).mean() / sscale < 0.02
