@@ -76,7 +76,7 @@ def main():
     # queue full, so per-request cost is the pipelined rate.)
     n_iters = 32
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         for _ in range(n_iters):
             wav, mel_lens = synthesize(*args)
