@@ -15,6 +15,7 @@ import numpy as np
 
 from ..checkpoint import restore_checkpoint, save_checkpoint
 from ..data.dataset import AcousticDataset
+from ..data.prefetch import prefetch
 from ..models.vocoder import get_vocoder
 from ..parallel import make_mesh, replicate_state, shard_batch, shard_train_step
 from ..train import create_train_state, make_train_step, make_eval_step
@@ -62,7 +63,8 @@ def main(args, configs):
     dataset = AcousticDataset(
         "train.txt", mode, preprocess_config, model_config, train_config,
         sort=True, drop_last=True)
-    batch_gen = dataset.batches(group_size=4, shuffle=True, seed=args.seed)
+    batch_gen = prefetch(
+        dataset.batches(group_size=4, shuffle=True, seed=args.seed))
 
     # find a representative batch for initialization
     example = next(b for b in batch_gen if b is not None)
