@@ -57,11 +57,15 @@ def _maybe_stop(x, cond):
 
 
 def _default_fused(configured):
-    """`denoiser.fused` yaml override, else on iff running on real TPU
-    hardware (the Pallas interpreter fallback would only slow CPU down)."""
-    if configured is not None:
-        return bool(configured)
-    return jax.default_backend() in ("tpu", "axon")
+    """`denoiser.fused` yaml override; off by default.  Measured at the
+    LJSpeech flagship scale (T=864, C=256, L=20, one v5e chip) XLA's own
+    fusion of the block loop edges out the Pallas kernel (~0.36 ms vs
+    ~0.44 ms acoustic pass) because XLA already runs bf16-operand MXU
+    matmuls by default and the kernel's tile-gather prologue costs more
+    than the saved HBM traffic at this size.  The kernel is kept as an
+    opt-in for larger denoisers/sequence lengths where the activation
+    round-trips dominate."""
+    return bool(configured) if configured is not None else False
 
 
 class MixGANTTS(nn.Module):

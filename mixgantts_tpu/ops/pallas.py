@@ -87,8 +87,10 @@ def _kernel(T, L, tile, step_ref, x_ref, condp_ref,
            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0))
     mask = ((pos >= 0) & (pos < T)).astype(x_s.dtype)
 
-    # operand dtype = the weights' dtype (bf16 for the mixed-precision
-    # path); scratch accumulation and all dot outputs stay fp32
+    # operand dtype = the weights' dtype; scratch accumulation and all
+    # dot outputs stay fp32.  The caller downcasts fp32 weights to bf16
+    # on real TPU to match XLA's default matmul precision (flax convs
+    # run bf16-operand/fp32-accum there too).
     op_dtype = conv_w_ref.dtype
     y0 = x_s[:] + step_ref[0, 0].astype(jnp.float32)
     y = ((y0 + condp_ref[0, 0, 0].astype(jnp.float32))
@@ -128,6 +130,12 @@ def fused_residual_stack(x, cond, step_emb, stacked, tile=None,
     interpret=None auto-selects the Pallas interpreter off-TPU (CPU tests)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if not interpret and x.dtype == jnp.float32:
+        # match XLA's default TPU matmul precision: bf16 MXU operands,
+        # fp32 accumulation (interpreter/CPU stays fp32-exact for tests)
+        stacked = dict(stacked,
+                       conv_w=stacked["conv_w"].astype(jnp.bfloat16),
+                       out_w=stacked["out_w"].astype(jnp.bfloat16))
     B, T, C = x.shape
     Hc = cond.shape[-1]
     L = stacked["conv_w"].shape[0]
