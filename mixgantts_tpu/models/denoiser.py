@@ -46,8 +46,11 @@ class Denoiser(nn.Module):
     multi_speaker: bool = False
     # route the residual stack through the fused Pallas kernel
     # (`ops/pallas.py`); single-speaker inference only — the speaker
-    # projection and autodiff take the flax path
-    fused: bool = False
+    # projection and autodiff take the flax path.  None = auto: kernel on
+    # real TPU for batched inference (B >= 2, where keeping the tile in
+    # VMEM beats XLA's loop by ~20%); B=1 stays on the XLA loop whose
+    # prologue-free graph measures faster (see mixgantts._default_fused)
+    fused: "bool | None" = None
 
     @nn.compact
     def __call__(self, x_t, t, cond, spk_emb=None):
@@ -61,7 +64,11 @@ class Denoiser(nn.Module):
         if not self.multi_speaker:
             spk_emb = None
 
-        use_fused = (self.fused and spk_emb is None
+        fused = self.fused
+        if fused is None:  # auto by static shape: batched inference only
+            fused = (jax.default_backend() in ("tpu", "axon")
+                     and x.shape[0] >= 2)
+        use_fused = (fused and spk_emb is None
                      and not self.is_initializing())
         if use_fused:
             from ..ops.pallas import fused_residual_stack, \

@@ -57,15 +57,16 @@ def _maybe_stop(x, cond):
 
 
 def _default_fused(configured):
-    """`denoiser.fused` yaml override; off by default.  Measured at the
-    LJSpeech flagship scale (T=864, C=256, L=20, one v5e chip) XLA's own
-    fusion of the block loop edges out the Pallas kernel (~0.36 ms vs
-    ~0.44 ms acoustic pass) because XLA already runs bf16-operand MXU
-    matmuls by default and the kernel's tile-gather prologue costs more
-    than the saved HBM traffic at this size.  The kernel is kept as an
-    opt-in for larger denoisers/sequence lengths where the activation
-    round-trips dominate."""
-    return bool(configured) if configured is not None else False
+    """`denoiser.fused` yaml override; None = auto by batch size.
+
+    Measured at the LJSpeech flagship scale (C=256, L=20, one v5e chip,
+    acoustic pass): at B=1 XLA's own fusion of the block loop wins
+    (~0.30-0.36 ms vs ~0.44 ms — XLA already runs bf16-operand MXU
+    matmuls and the kernel's tile-gather prologue dominates), while at
+    B=8 the kernel wins ~20% (0.33 vs 0.41 ms at T=864) because the
+    per-layer activation round-trips it eliminates scale with batch.
+    Auto mode picks the kernel for batched TPU inference only."""
+    return configured
 
 
 class MixGANTTS(nn.Module):
@@ -99,8 +100,9 @@ class MixGANTTS(nn.Module):
     external_speaker_dim: int = 512
     # inference-time routing of the denoiser through the fused Pallas
     # residual-stack kernel (ops/pallas.py); training always takes the
-    # flax path (the kernel has no custom VJP)
-    fused_denoiser: bool = False
+    # flax path (the kernel has no custom VJP).  None = auto by batch
+    # size (see Denoiser.fused)
+    fused_denoiser: Optional[bool] = None
 
     @classmethod
     def from_configs(cls, mode, preprocess_config, model_config, stats,
@@ -170,6 +172,12 @@ class MixGANTTS(nn.Module):
         return_trace=False,  # inference only: mel_pred = full [S+1,...] trace
     ):
         shallow = self.mode == "shallow"
+        if max_mel_len > self.max_seq_len:
+            raise ValueError(
+                f"max_mel_len={max_mel_len} exceeds max_seq_len="
+                f"{self.max_seq_len}; raise model.yaml max_seq_len (the "
+                f"positional tables are sized by it) or add a smaller "
+                f"length bucket")
         B, P = texts.shape
         src_mask = sequence_mask(src_lens, P)
         src_w_mask = sequence_mask(src_w_lens, word_boundaries.shape[1])
@@ -221,7 +229,7 @@ class MixGANTTS(nn.Module):
             residual_channels=self.residual_channels,
             residual_layers=self.residual_layers,
             multi_speaker=self.multi_speaker,
-            fused=self.fused_denoiser and mels is None,
+            fused=self.fused_denoiser if mels is None else False,
             name="denoiser",
         )
 
