@@ -10,10 +10,8 @@ the newest step.
 """
 
 import os
-from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

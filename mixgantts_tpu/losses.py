@@ -9,8 +9,8 @@ sum(x * mask) / sum(mask)); the CTC forward-sum is a vectorized lax.scan over
 frames instead of a per-item torch CTC call.
 """
 
-import math
-from typing import NamedTuple, Optional
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

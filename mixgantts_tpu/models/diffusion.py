@@ -13,7 +13,7 @@ Mel layout is [B, T, n_mels] (channel-last) everywhere; the reference's
 """
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .utils.tools import bucket_length, pad_1d
+from .utils.tools import bucket_length
 
 
 def cast_floats(tree, dtype):
