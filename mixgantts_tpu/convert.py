@@ -233,3 +233,85 @@ def load_reference_checkpoint(path):
         if part in ckpt:
             out[part] = {k: v.numpy() for k, v in ckpt[part].items()}
     return out
+
+
+def convert_reference_checkpoint_cli():
+    """`python -m mixgantts_tpu.convert --dataset D --model M
+    --ckpt 600000.pth.tar [--step N]` — migrate a trained reference
+    checkpoint (`train.py:251-267` format) into this framework's orbax
+    layout so `synthesize.py --restore_step N` / `train.py --restore_step N`
+    pick it up directly.  Optimizer/scheduler states are NOT carried over
+    (torch Adam moments don't map onto optax MultiSteps/Noam state); resume
+    behaves like the reference's aux->shallow handoff: weights restored,
+    optimizers fresh."""
+    import argparse
+    import os
+    import re
+
+    import jax
+    import numpy as np
+
+    from .checkpoint import save_checkpoint
+    from .cli.common import (build_discriminator, build_model, load_configs)
+    from .train import create_train_state
+
+    parser = argparse.ArgumentParser(description=convert_reference_checkpoint_cli.__doc__)
+    parser.add_argument("--ckpt", type=str, required=True,
+                        help="reference .pth.tar checkpoint")
+    parser.add_argument("--model", type=str, required=True,
+                        choices=["naive", "aux", "shallow"])
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--step", type=int, default=None,
+                        help="step to file the converted ckpt under "
+                             "(default: parsed from the filename)")
+    parser.add_argument("--path_tag", type=str, default="")
+    parser.add_argument("--restore_step", type=int, default=10**9)  # routing
+    args = parser.parse_args()
+    if args.step is None:
+        m = re.search(r"(\d+)", os.path.basename(args.ckpt))
+        args.step = int(m.group(1)) if m else 0
+
+    configs = load_configs(args)
+    preprocess_config, model_config, train_config = configs
+    model, _ = build_model(args.model, preprocess_config, model_config)
+    disc = build_discriminator(preprocess_config, model_config)
+
+    # template state from a tiny synthetic batch
+    r = np.random.RandomState(0)
+    B, P, W, T = 2, 16, 8, 32
+    wb = r.randint(1, 3, (B, W)).astype(np.int32)
+    src_lens = wb.sum(-1).astype(np.int32)
+    texts = np.zeros((B, P), np.int64)
+    for b in range(B):
+        texts[b, :src_lens[b]] = r.randint(1, 300, src_lens[b])
+    init_batch = dict(
+        speakers=np.zeros((B,), np.int32), texts=texts, src_lens=src_lens,
+        word_boundaries=wb, src_w_lens=np.full((B,), W, np.int32),
+        mels=r.randn(B, T, model.n_mels).astype(np.float32),
+        mel_lens=np.full((B,), T, np.int32), max_mel_len=T)
+    state = create_train_state(jax.random.PRNGKey(0), model, disc,
+                               init_batch, train_config, model_config,
+                               restore_step=args.step)
+
+    sd = load_reference_checkpoint(args.ckpt)
+    t = model_config["transformer"]
+    g_params, g_stats = convert_generator(
+        sd["G"], args.model,
+        encoder_layers=t["encoder_layer"],
+        decoder_layers=t["decoder_layer"],
+        denoiser_layers=model_config["denoiser"]["residual_layers"],
+        multi_speaker=model_config["multi_speaker"])
+    state = state.replace(g_params=g_params, g_batch_stats=g_stats)
+    if "D" in sd:
+        d = model_config["discriminator"]
+        state = state.replace(d_params=convert_discriminator(
+            sd["D"], n_layer=d["n_layer"], n_uncond=d["n_uncond_layer"],
+            n_cond=d["n_cond_layer"],
+            multi_speaker=model_config["multi_speaker"]))
+
+    path = save_checkpoint(train_config["path"]["ckpt_path"], state)
+    print(f"converted {args.ckpt} (step {args.step}) -> {path}")
+
+
+if __name__ == "__main__":
+    convert_reference_checkpoint_cli()

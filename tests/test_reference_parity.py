@@ -23,7 +23,9 @@ REF = "/root/reference"
 
 
 def _stub(name, **attrs):
+    import importlib.machinery
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules.setdefault(name, mod)
@@ -48,11 +50,14 @@ def ref_modules(tmp_path_factory):
         def __getattr__(self, name):
             return type(name, (), {})
 
+    import importlib.machinery
     for name in ("tensorflow", "tensorflow.keras",
                  "tensorflow.keras.backend", "tensorflow.keras.layers",
                  "tensorflow.keras.models", "tensorflow.keras.optimizers",
                  "tensorflow.keras.regularizers", "dill", "natsort"):
-        sys.modules.setdefault(name, _Anything(name))
+        mod = _Anything(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules.setdefault(name, mod)
     sys.modules["tensorflow"].keras = sys.modules["tensorflow.keras"]
     sys.modules["tensorflow.keras"].layers = \
         sys.modules["tensorflow.keras.layers"]
@@ -525,3 +530,74 @@ def test_aux_loss_parity(ref_modules, tmp_path):
     np.testing.assert_allclose(float(got_r), float(ref_r), rtol=1e-5)
     np.testing.assert_allclose(float(got_f), float(ref_f), rtol=1e-5)
     np.testing.assert_allclose(float(got_g), float(ref_g), rtol=1e-5)
+
+
+def test_reference_checkpoint_migration(ref_modules, tmp_path, monkeypatch):
+    """A trained reference `.pth.tar` (G+D, `train.py:251-267` layout)
+    converts via `python -m mixgantts_tpu.convert` into our orbax tree and
+    synthesizes through the real CLI."""
+    import copy
+
+    import jax
+    import numpy as np
+    import yaml
+
+    from test_cli import TINY_MODEL_YAML, TINY_TRAIN_YAML
+    from test_data_pipeline import make_corpus, PREPROCESS_CONFIG
+
+    root = str(tmp_path / "ws")
+    os.makedirs(root)
+    make_corpus(root, n_utts=4)
+    pre_cfg = copy.deepcopy(PREPROCESS_CONFIG)
+    pre_cfg["dataset"] = "MigCorpus"
+    pre_cfg["path"] = {
+        "corpus_path": root,
+        "lexicon_path": os.path.join(root, "lexicon.txt"),
+        "raw_path": os.path.join(root, "raw_data"),
+        "preprocessed_path": os.path.join(root, "preprocessed"),
+    }
+    with open(pre_cfg["path"]["lexicon_path"], "w") as f:
+        f.write("hello HH AH0 L OW1\nworld W ER1 L D\n")
+    train_cfg = copy.deepcopy(TINY_TRAIN_YAML)
+    train_cfg["path"] = {k: os.path.join(root, "output", k[:-5], "MigCorpus")
+                        for k in ("ckpt_path", "log_path", "result_path")}
+    cfg_dir = os.path.join(root, "config", "MigCorpus")
+    os.makedirs(cfg_dir)
+    for name, cfg in [("preprocess.yaml", pre_cfg),
+                      ("model.yaml", TINY_MODEL_YAML),
+                      ("train.yaml", train_cfg)]:
+        with open(os.path.join(cfg_dir, name), "w") as f:
+            yaml.dump(cfg, f)
+    from mixgantts_tpu.data.preprocessor import Preprocessor
+    Preprocessor(pre_cfg, TINY_MODEL_YAML, train_cfg).build_from_path()
+
+    # reference naive G + D at the same architecture
+    torch.manual_seed(11)
+    args = types.SimpleNamespace(model="naive")
+    ref_g = ref_modules.mix.MixGANTTS(
+        args, pre_cfg, TINY_MODEL_YAML, train_cfg)
+    ref_d = ref_modules.mix.JCUDiscriminator(pre_cfg, TINY_MODEL_YAML, train_cfg)
+    ckpt_path = os.path.join(root, "600.pth.tar")
+    torch.save({"G": ref_g.state_dict(), "D": ref_d.state_dict(),
+                "epoch": 1}, ckpt_path)
+
+    monkeypatch.chdir(root)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert", "--ckpt", ckpt_path, "--model", "naive",
+         "--dataset", "MigCorpus"])
+    from mixgantts_tpu.convert import convert_reference_checkpoint_cli
+    convert_reference_checkpoint_cli()
+    assert os.path.isdir(os.path.join(
+        root, "output", "ckpt", "MigCorpus_naive", "600"))
+
+    from mixgantts_tpu.cli import synthesize as syn
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--restore_step", "600", "--model", "naive",
+         "--mode", "single", "--text", "hello world",
+         "--dataset", "MigCorpus"])
+    syn.cli()
+    result_dir = os.path.join(root, "output", "result",
+                              "MigCorpus_naive", "600")
+    assert any(f.endswith(".wav") for f in os.listdir(result_dir))
