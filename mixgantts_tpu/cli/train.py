@@ -133,8 +133,11 @@ def main(args, configs):
     if profile_port:
         start_server(profile_port)
         print(f"profiler server listening on :{profile_port}")
+    # capture steady-state steps; clamp the window into short runs
+    profile_start = min(args.restore_step + 10,
+                        max(args.restore_step + 1, total_step - 4))
     profiler = StepProfiler(getattr(args, "profile_dir", None),
-                            args.restore_step + 10)
+                            profile_start)
     meter = ThroughputMeter()
 
     step = args.restore_step + 1
