@@ -27,11 +27,13 @@ def evaluate(mode, model, discriminator, state, configs, logger=None,
         "val.txt", mode, preprocess_config, model_config, train_config,
         sort=False, drop_last=False)
 
+    from ..data.prefetch import prefetch
+
     sums = {k: 0.0 for k in LOSS_KEYS}
     n_samples = 0
     first_batch = None
-    for i, batch in enumerate(dataset.batches(group_size=1, shuffle=False,
-                                              epochs=1)):
+    for i, batch in enumerate(prefetch(dataset.batches(
+            group_size=1, shuffle=False, epochs=1))):
         if batch is None:
             break
         if max_batches is not None and i >= max_batches:

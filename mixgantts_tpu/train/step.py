@@ -200,7 +200,8 @@ def make_eval_step(mode, model, discriminator, model_config, train_config):
                 loss_cfg, sched, out, batch["mels"], batch["p_targets"],
                 batch["e_targets"], step=state.step)
             losses.update(D_loss=jnp.zeros(()), adv_loss=jnp.zeros(()),
-                          G_loss=losses["recon_loss"])
+                          G_loss=losses["recon_loss"],
+                          total_loss=losses["recon_loss"])
             return losses
         fake_c, fake_u = discriminator.apply(
             {"params": state.d_params}, out.x_ts, out.x_t_prev_preds,
@@ -215,9 +216,10 @@ def make_eval_step(mode, model, discriminator, model_config, train_config):
             loss_cfg, sched, out, batch["mels"], batch["p_targets"],
             batch["e_targets"], step=state.step,
             Ds=(real_c, real_u, fake_c, fake_u))
+        G_loss = adv_loss + losses["recon_loss"] + losses["fm_loss"]
         losses.update(
-            D_loss=r_loss + f_loss, adv_loss=adv_loss,
-            G_loss=adv_loss + losses["recon_loss"] + losses["fm_loss"])
+            D_loss=r_loss + f_loss, adv_loss=adv_loss, G_loss=G_loss,
+            total_loss=r_loss + f_loss + G_loss)
         return losses
 
     return eval_fn
