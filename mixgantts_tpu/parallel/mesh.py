@@ -47,13 +47,21 @@ def replicate_state(mesh, state):
     return jax.device_put(state, replicated(mesh))
 
 
-def shard_train_step(step_fn, mesh):
-    """jit the train step with state replicated and the batch sharded on
-    'data'; XLA inserts the psum over ICI for the gradient reduction.  The
-    state is donated so params/optimizer buffers update in place."""
+def shard_train_step(step_fn, mesh, state_specs=None):
+    """jit the train step with the batch sharded on 'data' and the state
+    either replicated (default) or tensor-parallel per `state_specs` (a
+    PartitionSpec pytree from `tp.partition_specs`); XLA inserts the psum
+    over ICI for the gradient reduction and the Megatron collectives for
+    sharded weights.  The state is donated so params/optimizer buffers
+    update in place."""
+    if state_specs is None:
+        state_in = state_out = replicated(mesh)
+    else:
+        state_in = state_out = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), state_specs)
     return jax.jit(
         step_fn,
-        in_shardings=(replicated(mesh), batch_sharding(mesh)),
-        out_shardings=(replicated(mesh), replicated(mesh)),
+        in_shardings=(state_in, batch_sharding(mesh)),
+        out_shardings=(state_out, replicated(mesh)),
         donate_argnums=(0,),
     )
