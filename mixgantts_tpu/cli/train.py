@@ -17,7 +17,10 @@ from ..checkpoint import restore_checkpoint, save_checkpoint
 from ..data.dataset import AcousticDataset
 from ..data.prefetch import prefetch
 from ..models.vocoder import get_vocoder
-from ..parallel import make_mesh, replicate_state, shard_batch, shard_train_step
+from ..parallel import (
+    make_mesh, partition_specs, replicate_state, shard_batch, shard_state,
+    shard_train_step,
+)
 from ..train import create_train_state, make_train_step, make_eval_step
 from ..train.optim import fs2_lr_schedule
 from ..utils.logging import get_writer, log, loss_message
@@ -83,10 +86,13 @@ def main(args, configs):
 
     step_fn = make_train_step(mode, model, discriminator, model_config,
                               train_config)
-    if args.data_parallel and len(jax.devices()) > 1:
-        mesh = make_mesh()
-        step_fn = shard_train_step(step_fn, mesh)
-        state = replicate_state(mesh, state)
+    tp = max(1, getattr(args, "tensor_parallel", 1))
+    if (args.data_parallel or tp > 1) and len(jax.devices()) > 1:
+        mesh = make_mesh(model_axis=tp)
+        specs = partition_specs(state, mesh) if tp > 1 else None
+        step_fn = shard_train_step(step_fn, mesh, state_specs=specs)
+        state = (shard_state(mesh, state, specs) if tp > 1
+                 else replicate_state(mesh, state))
         put = lambda b: shard_batch(mesh, b)
     else:
         # donate the train state: params/optimizer buffers update in place
@@ -212,6 +218,11 @@ def build_argparser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch over all visible devices")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="Megatron-shard attention/FFN/denoiser weights"
+                        " (and their optimizer moments) over a 'model' mesh"
+                        " axis of this size; composes with --data_parallel"
+                        " as a (devices/N, N) dp x tp mesh")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture an XLA device trace of 5 steady-state "
                              "steps into this dir (TensorBoard profile)")

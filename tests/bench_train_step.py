@@ -1,6 +1,8 @@
 """Manual TPU benchmark: full-size LJSpeech naive GAN train step.
 
-Run directly: python tests/bench_train_step.py [mode]
+Run directly: python tests/bench_train_step.py [mode] [bf16]
+(`bf16` switches on the opt-in mixed-precision path,
+`tpu.compute_dtype: bfloat16`.)
 """
 
 import os
@@ -13,7 +15,7 @@ import jax
 import numpy as np
 
 
-def main(mode="naive"):
+def main(mode="naive", precision="fp32"):
     from __graft_entry__ import _flagship_model
     from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.discriminator import JCUDiscriminator
@@ -21,6 +23,8 @@ def main(mode="naive"):
 
     enable_compilation_cache()
     model, (pre_cfg, model_cfg, train_cfg) = _flagship_model(mode)
+    if precision == "bf16":
+        model_cfg.setdefault("tpu", {})["compute_dtype"] = "bfloat16"
     d = model_cfg["discriminator"]
     disc = JCUDiscriminator(
         n_mels=80, residual_channels=model_cfg["denoiser"][
@@ -70,11 +74,12 @@ def main(mode="naive"):
         jax.block_until_ready(metrics["total_loss"])
         best = min(best, (time.perf_counter() - start) / iters)
     frames = int(mel_lens.sum())
-    print(f"backend={jax.default_backend()} mode={mode} B={B} T={T}")
+    print(f"backend={jax.default_backend()} mode={mode} "
+          f"precision={precision} B={B} T={T}")
     print(f"train step: {best * 1e3:8.2f} ms  "
           f"({frames / best:,.0f} mel-frames/s/chip, "
           f"{1.0 / best:.2f} it/s)")
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(*sys.argv[1:3])

@@ -140,6 +140,22 @@ def test_train_cli_naive_and_restore(workspace):
     main(args2, configs2)
 
 
+def test_train_cli_tensor_parallel(workspace):
+    """--tensor_parallel 4 trains on a dp2 x tp4 mesh of the virtual
+    8-CPU-device platform (batch 2 shards over data=2; hidden 32 /
+    residual 16 divide model=4)."""
+    from mixgantts_tpu.cli.common import load_configs
+    from mixgantts_tpu.cli.train import main
+
+    args = _args(model="naive", dataset="TestCorpus", restore_step=0,
+                 path_tag="_tp", seed=0, data_parallel=True,
+                 tensor_parallel=4)
+    configs = load_configs(args)
+    main(args, configs)
+    ckpt_dir = configs[2]["path"]["ckpt_path"]
+    assert os.path.isdir(os.path.join(ckpt_dir, "4"))
+
+
 def test_evaluate_cli(workspace):
     import subprocess
     # module-level evaluate on fresh state
