@@ -62,10 +62,15 @@ def main(mode="naive", precision="fp32"):
         make_train_step(mode, model, disc, model_cfg, train_cfg),
         donate_argnums=(0,))
 
+    # device-resident batch: measure the step, not the host->TPU tunnel
+    # transfer of ~2.5 MB of batch arrays per call
+    batch = jax.device_put(batch)
     state, metrics = step_fn(state, batch)  # compile
     jax.block_until_ready(metrics["total_loss"])
 
-    iters = 20
+    # enough queued iterations that the single blocking read's tunnel
+    # round-trip (~15-30 ms) amortizes below 0.5 ms/step
+    iters = 60
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
