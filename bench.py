@@ -65,22 +65,26 @@ def main():
             jax.random.PRNGKey(3), batch["speakers"], batch["texts"],
             batch["src_lens"], batch["word_boundaries"], batch["src_w_lens"])
 
+    # weights + request tensors device-resident, as a serving system holds
+    # them (re-uploading weights per request would measure the tunnel)
+    args = jax.device_put(args)
+
     # warmup/compile
     wav, mel_lens = synthesize(*args)
-    jax.block_until_ready(wav)
+    np.asarray(wav)
 
-    # steady-state serving latency: pipeline a queue of requests and block
-    # once at the end.  (Blocking every call would measure the host<->TPU
-    # tunnel round-trip of this harness, ~30 ms, not the chip: the full
-    # pipeline computes in <1 ms.  A production server keeps the dispatch
-    # queue full, so per-request cost is the pipelined rate.)
+    # steady-state serving latency: pipeline a queue of requests and
+    # materialize the final waveform once at the end.  The barrier must be
+    # an actual device->host data fetch: on the axon tunnel runtime,
+    # jax.block_until_ready can return before the program finishes and
+    # reads up to 50x too fast.
     n_iters = 32
     best = float("inf")
     for _ in range(5):
         start = time.perf_counter()
         for _ in range(n_iters):
             wav, mel_lens = synthesize(*args)
-        jax.block_until_ready(wav)
+        np.asarray(wav)
         best = min(best, (time.perf_counter() - start) / n_iters)
     elapsed = best
 

@@ -21,7 +21,9 @@ from ..parallel import (
     make_mesh, partition_specs, replicate_state, shard_batch, shard_state,
     shard_train_step,
 )
-from ..train import create_train_state, make_train_step, make_eval_step
+from ..train import (
+    chunk_train_step, create_train_state, make_train_step, make_eval_step,
+)
 from ..train.optim import fs2_lr_schedule
 from ..utils.logging import get_writer, log, loss_message
 from ..utils.profiling import StepProfiler, ThroughputMeter, start_server
@@ -84,21 +86,33 @@ def main(args, configs):
             train_config["path"]["ckpt_path"], state, args.restore_step,
             reset_optimizers=reset)
 
-    step_fn = make_train_step(mode, model, discriminator, model_config,
-                              train_config)
+    base_step = make_train_step(mode, model, discriminator, model_config,
+                                train_config)
+    tpu_cfg = model_config.get("tpu", {}) or {}
+    # k-step chunked dispatch: ONE host->device call scans k train steps
+    # (the per-call dispatch cost scales with the train state's ~2k buffers
+    # and otherwise exceeds the device step time; see train/step.py)
+    k = max(1, int(getattr(args, "steps_per_call", 0)
+                   or tpu_cfg.get("steps_per_call", 1)))
     tp = max(1, getattr(args, "tensor_parallel", 1))
     if (args.data_parallel or tp > 1) and len(jax.devices()) > 1:
         mesh = make_mesh(model_axis=tp)
         specs = partition_specs(state, mesh) if tp > 1 else None
-        step_fn = shard_train_step(step_fn, mesh, state_specs=specs)
+        step_fn = shard_train_step(base_step, mesh, state_specs=specs)
+        chunk_fn = (shard_train_step(chunk_train_step(base_step), mesh,
+                                     state_specs=specs, batch_stacked=True)
+                    if k > 1 else None)
         state = (shard_state(mesh, state, specs) if tp > 1
                  else replicate_state(mesh, state))
         put = lambda b: shard_batch(mesh, b)
+        put_stacked = lambda b: shard_batch(mesh, b, stacked=True)
     else:
         # donate the train state: params/optimizer buffers update in place
         # instead of allocating a second copy every step
-        step_fn = jax.jit(step_fn, donate_argnums=(0,))
-        put = lambda b: b
+        step_fn = jax.jit(base_step, donate_argnums=(0,))
+        chunk_fn = (jax.jit(chunk_train_step(base_step), donate_argnums=(0,))
+                    if k > 1 else None)
+        put = put_stacked = lambda b: b
     eval_fn = jax.jit(make_eval_step(mode, model, discriminator,
                                      model_config, train_config))
 
@@ -146,11 +160,112 @@ def main(args, configs):
                             profile_start)
     meter = ThroughputMeter()
 
-    step = args.restore_step + 1
+    step = args.restore_step + 1  # next step to run
     epoch = int(state.epoch)
+    # batches buffered per (mel_len, phone_len) bucket shape until k of the
+    # same shape are available for one stacked scan dispatch; partial
+    # buffers (epoch boundaries, end of training) flush as single steps
+    buffers = {}
+    periods = [cfg_step["log_step"], cfg_step["synth_step"],
+               cfg_step["val_step"], cfg_step["save_step"]]
+
+    def steps_until_boundary(s):
+        """Steps from s (inclusive) to the nearest periodic-action step.
+        Chunks never cross a boundary, so checkpoints/val/synth always see
+        the state at exactly the reference step."""
+        return min(p - ((s - 1) % p) for p in periods)
+
+    def dispatch(batch_list):
+        """Run len(batch_list) train steps — one scan dispatch per full
+        chunk — then any periodic log/synth/val/save action whose step
+        falls inside the range.  Returns True at total_step."""
+        while batch_list:
+            cap = max(1, min(total_step - step + 1, k,
+                             steps_until_boundary(step)))
+            if _run_segment(batch_list[:cap]):
+                return True
+            batch_list = batch_list[cap:]
+            if step > total_step:
+                return True
+        return False
+
+    def _run_segment(batch_list):
+        nonlocal state, step
+        m = len(batch_list)
+        first = step
+        profiler.step(first)
+        if m == k and k > 1:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs),
+                *[model_batch_of(b) for b in batch_list])
+            state, ms = chunk_fn(state, put_stacked(stacked))
+            metric_at = lambda j: jax.tree_util.tree_map(
+                lambda x: x[j], ms)
+        else:
+            ms_list = []
+            for b in batch_list:
+                state, m1 = step_fn(state, put(model_batch_of(b)))
+                ms_list.append(m1)
+            metric_at = ms_list.__getitem__
+
+        for j in range(m):
+            s = first + j
+            meter.update(batch_list[j]["mel_lens"])
+
+            if s % cfg_step["log_step"] == 0:
+                metrics = jax.device_get(metric_at(j))
+                msg = loss_message(s, total_step, metrics)
+                it_s, frames_s = meter.read_and_reset()
+                print(f"{msg}  ({it_s:.2f} it/s, "
+                      f"{frames_s:.0f} mel-frames/s)")
+                with open(os.path.join(train_log_path, "log.txt"),
+                          "a") as f:
+                    f.write(f"Step {s}/{total_step}, "
+                            + msg.split(", ", 1)[1] + "\n")
+                lr = (float(state.lr_g) if mode != "aux"
+                      else float(fs2_sched(s)))
+                log(train_logger, s, losses=metrics, lr=lr)
+                train_logger.add_scalar("Training/mel_frames_per_sec",
+                                        frames_s, s)
+
+            if s % cfg_step["synth_step"] == 0 and vocoder is not None:
+                figs, attn_fig, wav_rec, wav_pred, tag = synthesize_sample(
+                    mode, model, jax.device_get(state), batch_list[j],
+                    vocoder, model_config, preprocess_config,
+                    model.schedule)
+                log(train_logger, s, figs=figs, tag="Training")
+                log(train_logger, figs=attn_fig,
+                    tag=f"Training_attn/step_{s}_{tag}")
+                log(train_logger, s, audio=wav_rec, sampling_rate=sr,
+                    tag="Training/reconstructed")
+                log(train_logger, s, audio=wav_pred, sampling_rate=sr,
+                    tag="Training/synthesized")
+
+            if s % cfg_step["val_step"] == 0:
+                message = evaluate(
+                    mode, model, discriminator, jax.device_get(state),
+                    configs, val_logger, vocoder, eval_fn)
+                with open(os.path.join(val_log_path, "log.txt"), "a") as f:
+                    f.write(message + "\n")
+                print(message)
+
+            if s % cfg_step["save_step"] == 0:
+                path = save_checkpoint(train_config["path"]["ckpt_path"],
+                                       jax.device_get(state))
+                print(f"saved checkpoint: {path}")
+
+            if s >= total_step:
+                profiler.close()
+                return True
+        step = first + m
+        return False
+
     while True:
         batch = next(batch_gen)
-        if batch is None:  # epoch boundary: ExponentialLR decay
+        if batch is None:  # epoch boundary: flush, then ExponentialLR decay
+            for key in list(buffers):
+                if dispatch(buffers.pop(key)):
+                    return
             epoch += 1
             if mode != "aux":
                 state = state.replace(
@@ -159,53 +274,14 @@ def main(args, configs):
                     lr_d=state.lr_d * gamma)
             continue
 
-        profiler.step(step)
-        state, metrics = step_fn(state, put(model_batch_of(batch)))
-        meter.update(batch["mel_lens"])
-
-        if step % cfg_step["log_step"] == 0:
-            metrics = jax.device_get(metrics)
-            msg = loss_message(step, total_step, metrics)
-            it_s, frames_s = meter.read_and_reset()
-            print(f"{msg}  ({it_s:.2f} it/s, {frames_s:.0f} mel-frames/s)")
-            with open(os.path.join(train_log_path, "log.txt"), "a") as f:
-                f.write(f"Step {step}/{total_step}, " + msg.split(", ", 1)[1]
-                        + "\n")
-            lr = (float(state.lr_g) if mode != "aux"
-                  else float(fs2_sched(step)))
-            log(train_logger, step, losses=metrics, lr=lr)
-            train_logger.add_scalar("Training/mel_frames_per_sec",
-                                    frames_s, step)
-
-        if step % cfg_step["synth_step"] == 0 and vocoder is not None:
-            figs, attn_fig, wav_rec, wav_pred, tag = synthesize_sample(
-                mode, model, jax.device_get(state), batch, vocoder,
-                model_config, preprocess_config, model.schedule)
-            log(train_logger, step, figs=figs, tag="Training")
-            log(train_logger, figs=attn_fig,
-                tag=f"Training_attn/step_{step}_{tag}")
-            log(train_logger, step, audio=wav_rec, sampling_rate=sr,
-                tag="Training/reconstructed")
-            log(train_logger, step, audio=wav_pred, sampling_rate=sr,
-                tag="Training/synthesized")
-
-        if step % cfg_step["val_step"] == 0:
-            message = evaluate(
-                mode, model, discriminator, jax.device_get(state), configs,
-                val_logger, vocoder, eval_fn)
-            with open(os.path.join(val_log_path, "log.txt"), "a") as f:
-                f.write(message + "\n")
-            print(message)
-
-        if step % cfg_step["save_step"] == 0:
-            path = save_checkpoint(train_config["path"]["ckpt_path"],
-                                   jax.device_get(state))
-            print(f"saved checkpoint: {path}")
-
-        if step >= total_step:
-            profiler.close()
-            return
-        step += 1
+        key = (batch["mels"].shape[1], batch["texts"].shape[1])
+        buf = buffers.setdefault(key, [])
+        buf.append(batch)
+        # cap the chunk at total_step and at periodic-action boundaries
+        if len(buf) >= max(1, min(k, total_step - step + 1,
+                                  steps_until_boundary(step))):
+            if dispatch(buffers.pop(key)):
+                return
 
 
 def build_argparser():
@@ -223,6 +299,10 @@ def build_argparser():
                         " (and their optimizer moments) over a 'model' mesh"
                         " axis of this size; composes with --data_parallel"
                         " as a (devices/N, N) dp x tp mesh")
+    parser.add_argument("--steps_per_call", type=int, default=0,
+                        help="scan this many train steps per device "
+                        "dispatch (amortizes per-call host overhead); "
+                        "0 = use tpu.steps_per_call from model.yaml")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture an XLA device trace of 5 steady-state "
                              "steps into this dir (TensorBoard profile)")

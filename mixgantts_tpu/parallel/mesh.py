@@ -26,18 +26,20 @@ def make_mesh(devices=None, data_axis=None, model_axis=1):
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
-def batch_sharding(mesh):
-    """Leading-axis (batch) sharding over the 'data' mesh axis."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh, stacked=False):
+    """Batch-axis sharding over the 'data' mesh axis.  `stacked=True` is for
+    k-step chunked batches ([k, B, ...] per leaf): the scan axis stays
+    unsharded, the batch axis (dim 1) shards over 'data'."""
+    return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch):
+def shard_batch(mesh, batch, stacked=False):
     """Place a host batch dict with the batch axis sharded over 'data'."""
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, stacked=stacked)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), sharding), batch)
 
@@ -47,7 +49,7 @@ def replicate_state(mesh, state):
     return jax.device_put(state, replicated(mesh))
 
 
-def shard_train_step(step_fn, mesh, state_specs=None):
+def shard_train_step(step_fn, mesh, state_specs=None, batch_stacked=False):
     """jit the train step with the batch sharded on 'data' and the state
     either replicated (default) or tensor-parallel per `state_specs` (a
     PartitionSpec pytree from `tp.partition_specs`); XLA inserts the psum
@@ -61,7 +63,7 @@ def shard_train_step(step_fn, mesh, state_specs=None):
             lambda s: NamedSharding(mesh, s), state_specs)
     return jax.jit(
         step_fn,
-        in_shardings=(state_in, batch_sharding(mesh)),
+        in_shardings=(state_in, batch_sharding(mesh, stacked=batch_stacked)),
         out_shardings=(state_out, replicated(mesh)),
         donate_argnums=(0,),
     )

@@ -46,12 +46,14 @@ class StepProfiler:
     def step(self, step):
         if self.log_dir is None:
             return
-        if step == self.start and not self._active:
+        # >= comparisons: with k-step chunked dispatch the observed step
+        # values advance in jumps and may never equal start/stop exactly
+        if self.start <= step < self.stop and not self._active:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
             print(f"profiler: tracing steps {self.start}..{self.stop - 1} "
                   f"-> {self.log_dir}")
-        elif step == self.stop and self._active:
+        elif step >= self.stop and self._active:
             jax.profiler.stop_trace()
             self._active = False
             print(f"profiler: trace written to {self.log_dir}")

@@ -19,12 +19,14 @@ from mixgantts_tpu.models.denoiser import Denoiser
 
 
 def timeit(fn, *args, iters=30):
+    # the trailing np.asarray is a data-fetch barrier: block_until_ready
+    # alone is unreliable on the axon runtime (CLAUDE.md Measurement rule)
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - start) / iters
 
 

@@ -17,15 +17,21 @@ import jax
 import numpy as np
 
 
+def _fetch(out):
+    # data-fetch barrier: on the axon runtime block_until_ready can return
+    # before the program tail executes (see CLAUDE.md Measurement rule)
+    return np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+
+
 def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(out)
         best = min(best, (time.perf_counter() - start) / iters)
     return best
 

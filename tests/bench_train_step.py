@@ -1,8 +1,9 @@
 """Manual TPU benchmark: full-size LJSpeech naive GAN train step.
 
-Run directly: python tests/bench_train_step.py [mode] [bf16]
+Run directly: python tests/bench_train_step.py [mode] [bf16] [k]
 (`bf16` switches on the opt-in mixed-precision path,
-`tpu.compute_dtype: bfloat16`.)
+`tpu.compute_dtype: bfloat16`; k>1 scans k steps per dispatch, the
+tpu.steps_per_call chunked path.)
 """
 
 import os
@@ -15,11 +16,15 @@ import jax
 import numpy as np
 
 
-def main(mode="naive", precision="fp32"):
+def main(mode="naive", precision="fp32", steps_per_call="1"):
     from __graft_entry__ import _flagship_model
     from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.discriminator import JCUDiscriminator
-    from mixgantts_tpu.train import create_train_state, make_train_step
+    from mixgantts_tpu.train import (
+        chunk_train_step, create_train_state, make_train_step,
+    )
+
+    k = int(steps_per_call)
 
     enable_compilation_cache()
     model, (pre_cfg, model_cfg, train_cfg) = _flagship_model(mode)
@@ -58,33 +63,42 @@ def main(mode="naive", precision="fp32"):
     state = create_train_state(
         jax.random.PRNGKey(0), model, disc,
         {**batch, "max_mel_len": T}, train_cfg, model_cfg)
-    step_fn = jax.jit(
-        make_train_step(mode, model, disc, model_cfg, train_cfg),
-        donate_argnums=(0,))
+    base = make_train_step(mode, model, disc, model_cfg, train_cfg)
+    if k > 1:
+        step_fn = jax.jit(chunk_train_step(base), donate_argnums=(0,))
+        batch = {key: np.broadcast_to(v, (k,) + v.shape).copy()
+                 for key, v in batch.items()}
+    else:
+        step_fn = jax.jit(base, donate_argnums=(0,))
 
     # device-resident batch: measure the step, not the host->TPU tunnel
     # transfer of ~2.5 MB of batch arrays per call
     batch = jax.device_put(batch)
     state, metrics = step_fn(state, batch)  # compile
-    jax.block_until_ready(metrics["total_loss"])
 
-    # enough queued iterations that the single blocking read's tunnel
-    # round-trip (~15-30 ms) amortizes below 0.5 ms/step
-    iters = 60
+    def barrier(state):
+        # materialize a param leaf: on the axon runtime block_until_ready
+        # can return before the program tail executes (readings up to 50x
+        # too fast); an actual device->host data fetch cannot lie
+        return float(np.asarray(
+            jax.tree_util.tree_leaves(state.g_params)[0]).sum())
+
+    barrier(state)
+    iters = max(240 // k, 8) if k > 1 else 60
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
         for _ in range(iters):
             state, metrics = step_fn(state, batch)
-        jax.block_until_ready(metrics["total_loss"])
-        best = min(best, (time.perf_counter() - start) / iters)
+        barrier(state)
+        best = min(best, (time.perf_counter() - start) / (iters * k))
     frames = int(mel_lens.sum())
     print(f"backend={jax.default_backend()} mode={mode} "
-          f"precision={precision} B={B} T={T}")
+          f"precision={precision} B={B} T={T} steps_per_call={k}")
     print(f"train step: {best * 1e3:8.2f} ms  "
           f"({frames / best:,.0f} mel-frames/s/chip, "
           f"{1.0 / best:.2f} it/s)")
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:3])
+    main(*sys.argv[1:4])
