@@ -22,6 +22,68 @@ from flax import linen as nn
 LRELU_SLOPE = 0.1
 
 
+def subpixel_upsample(x, kernel, bias, u, k):
+    """ConvTranspose1d(stride=u, kernel=k, VALID, crop (k-u)//2) as a dense
+    stride-1 conv + depth-to-space.
+
+    Mathematically identical (same multiply-adds, reordered): on TPU,
+    XLA lowers strided transposed convs to zero-stuffing `pad` ops that
+    copy u x the data through HBM at audio rate — the dominant cost of
+    HiFi-GAN synthesis.  The sub-pixel form computes all u output phases
+    of a frame as u*C_out channels of one MXU-friendly dense conv, then
+    interleaves them with a reshape.
+
+    kernel: flax ConvTranspose(transpose_kernel=True) layout [k, C_out,
+    C_in], which scatters y[t*u + q] += x[t] @ K[q]; the phase-r tap j of
+    the dense kernel is transpose tap K[j*u + r + c] (pinned by
+    test_vocoder parity tests).
+    """
+    kk, c_out, c_in = kernel.shape
+    assert kk == k
+    c = (k - u) // 2
+    # phase r of output position i*u + r sums x[i - j] * K_t[j*u + r + c]
+    # over the j with the tap index in [0, k)
+    j_min = -((c + u - 1) // u)
+    j_max = (k - 1 - c) // u
+    w = j_max - j_min + 1
+    # dense conv out[i] = sum_a x[i + a - j_max] * W[a], a = j_max - j.
+    # Build [w, c_in, u * c_out] with zeros for out-of-range taps.
+    dense = jnp.zeros((w, c_in, u * c_out), kernel.dtype)
+    for a in range(w):
+        j = j_max - a  # x index offset: x[i - j]
+        for r in range(u):
+            tap = j * u + r + c
+            if 0 <= tap < k:
+                # transpose_kernel=True scatters y[t*u+q] += x[t]*K[q]
+                dense = dense.at[a, :, r * c_out:(r + 1) * c_out].set(
+                    jnp.transpose(kernel[tap], (1, 0)))
+    B, T, _ = x.shape
+    y = jax.lax.conv_general_dilated(
+        x, dense, window_strides=(1,), padding=[(j_max, -j_min)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    y = y.reshape(B, T * u, c_out) + bias
+    return y
+
+
+class SubpixelUpsample(nn.Module):
+    """Drop-in ConvTranspose replacement: same param names ('kernel' in
+    the [k, C_out, C_in] transpose_kernel=True layout, 'bias') so
+    converted checkpoints load unchanged."""
+
+    channels: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.channels, x.shape[-1]))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return subpixel_upsample(x, kernel, bias, self.stride,
+                                 self.kernel_size)
+
+
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
@@ -49,6 +111,10 @@ class HiFiGANGenerator(nn.Module):
     resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
     resblock_dilation_sizes: Sequence[Sequence[int]] = (
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    # sub-pixel upsampling: numerically identical to the transposed conv
+    # but avoids XLA's zero-stuffing pads (the dominant synthesis cost);
+    # parameters keep the ConvTranspose layout either way
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, mel):
@@ -59,11 +125,15 @@ class HiFiGANGenerator(nn.Module):
                                        self.upsample_kernel_sizes)):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
-            x = nn.ConvTranspose(ch, (k,), strides=(u,), padding="VALID",
-                                 transpose_kernel=True, name=f"ups_{i}")(x)
-            crop = (k - u) // 2
-            if crop > 0:
-                x = x[:, crop:-crop]
+            if self.subpixel:
+                x = SubpixelUpsample(ch, k, u, name=f"ups_{i}")(x)
+            else:
+                x = nn.ConvTranspose(ch, (k,), strides=(u,),
+                                     padding="VALID", transpose_kernel=True,
+                                     name=f"ups_{i}")(x)
+                crop = (k - u) // 2
+                if crop > 0:
+                    x = x[:, crop:-crop]
             acc = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilation_sizes)):

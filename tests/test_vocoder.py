@@ -121,6 +121,20 @@ def test_hifigan_matches_torch_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_subpixel_equals_transposed_conv():
+    """subpixel=True (dense conv + depth-to-space) must reproduce the
+    ConvTranspose path exactly (same params, V1 rates incl. edges)."""
+    fg_ref = HiFiGANGenerator.from_config(DEFAULT_HIFIGAN_CONFIG)
+    fg_sub = fg_ref.copy(subpixel=True)
+    fg_ref = fg_ref.copy(subpixel=False)
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, 9, 80), jnp.float32)
+    params = fg_ref.init(jax.random.PRNGKey(0), mel)["params"]
+    want = np.asarray(fg_ref.apply({"params": params}, mel))
+    got = np.asarray(fg_sub.apply({"params": params}, mel))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_hifigan_output_length():
     fg = HiFiGANGenerator.from_config(DEFAULT_HIFIGAN_CONFIG)
     params = fg.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 80)))["params"]
