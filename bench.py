@@ -57,7 +57,7 @@ def main():
             speakers=speakers, texts=texts, src_lens=src_lens,
             word_boundaries=word_boundaries, src_w_lens=src_w_lens,
             max_mel_len=max_mel_len, train=False, rngs={"diffusion": rng})
-        wav = vocoder.module.apply({"params": vparams}, out.mel_pred)
+        wav = vocoder.apply_fn(vparams, out.mel_pred)
         return wav, out.mel_lens
 
     args = (variables["params"], vocoder.params,

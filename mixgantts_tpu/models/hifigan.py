@@ -60,9 +60,10 @@ def subpixel_upsample(x, kernel, bias, u, k):
     B, T, _ = x.shape
     y = jax.lax.conv_general_dilated(
         x, dense, window_strides=(1,), padding=[(j_max, -j_min)],
-        dimension_numbers=("NWC", "WIO", "NWC"))
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
     y = y.reshape(B, T * u, c_out) + bias
-    return y
+    return y.astype(x.dtype)
 
 
 class SubpixelUpsample(nn.Module):
@@ -156,6 +157,74 @@ class HiFiGANGenerator(nn.Module):
             resblock_dilation_sizes=tuple(
                 tuple(d) for d in config["resblock_dilation_sizes"]),
         )
+
+
+def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
+    """Pure-function HiFi-GAN forward with the Pallas-fused MRF stack
+    (`ops/pallas_vocoder.mrf_stack`): each stage's 18 resblock convs and
+    leaky_relus run in one kernel with the signal tile resident in VMEM,
+    instead of round-tripping audio-rate activations through HBM per op.
+    Numerically equivalent to `HiFiGANGenerator.__call__` on the same
+    params (see test_vocoder.py).
+
+    compute_dtype (default bf16 on TPU, fp32 elsewhere) sets the
+    activation dtype of the XLA portions (upsample convs, C > 128 MRF
+    stage, conv_post); conv accumulation stays fp32.  The audio path is
+    bandwidth-bound, so bf16 activations are a ~2x bandwidth saving;
+    waveform SNR vs the fp32 path is validated in test_vocoder.py."""
+    from ..ops.pallas_vocoder import mrf_stack, stack_mrf_params
+
+    if compute_dtype is None:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    compute_dtype = jnp.dtype(compute_dtype)
+    if compute_dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        mel = mel.astype(compute_dtype)
+
+    def conv1d(x, p, dilation=1):
+        y = jax.lax.conv_general_dilated(
+            x, p["kernel"], window_strides=(1,), padding="SAME",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        return (y + p["bias"]).astype(x.dtype)
+
+    def xla_mrf(x, stage, rks, dils):
+        # reference ResBlock1 math with lax convs (for C > 128 stages
+        # whose weights exceed VMEM; only the first stage in V1)
+        acc = None
+        for j, rk in enumerate(rks):
+            block = params[f"resblocks_{stage}_{j}"]
+            y = x
+            for c, d in enumerate(dils):
+                t = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                t = conv1d(t, block[f"convs1_{c}"], dilation=d)
+                t = jax.nn.leaky_relu(t, LRELU_SLOPE)
+                t = conv1d(t, block[f"convs2_{c}"])
+                y = y + t
+            acc = y if acc is None else acc + y
+        return acc / len(rks)
+
+    rates = tuple(config["upsample_rates"])
+    kernels = tuple(config["upsample_kernel_sizes"])
+    rks = tuple(config["resblock_kernel_sizes"])
+    dils = tuple(tuple(d) for d in config["resblock_dilation_sizes"])
+    x = conv1d(mel, params["conv_pre"])
+    for i, (u, k) in enumerate(zip(rates, kernels)):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        p = params[f"ups_{i}"]
+        x = subpixel_upsample(x, p["kernel"], p["bias"], u, k)
+        if x.shape[-1] <= 128:
+            stacked = stack_mrf_params(params, i, rks, dils[0])
+            x = mrf_stack(x, stacked, rks, dils[0], interpret=interpret)
+        else:
+            x = xla_mrf(x, i, rks, dils[0])
+    x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+    x = conv1d(x, params["conv_post"])
+    return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 def fold_weight_norm(weight_v, weight_g):

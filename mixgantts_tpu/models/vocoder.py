@@ -41,19 +41,31 @@ class Vocoder:
     name: str                      # 'HiFi-GAN' | 'MelGAN'
     module: Any
     params: Any
+    config: Any = None             # HiFi-GAN config dict (fused path)
     _infer: Any = field(default=None, repr=False)
+
+    @property
+    def apply_fn(self):
+        """(params, mel) -> waveform; the raw network (no MelGAN input
+        scale).  On TPU backends the HiFi-GAN MRF stack runs as a fused
+        Pallas kernel (`hifigan.fused_apply`); the flax module path is
+        kept for CPU/tests and non-HiFi-GAN models."""
+        if (self.name == "HiFi-GAN" and self.config is not None
+                and jax.default_backend() in ("tpu", "axon")):
+            from .hifigan import fused_apply
+            config = self.config
+            return lambda params, mel: fused_apply(params, mel, config)
+        module = self.module
+        return lambda params, mel: module.apply({"params": params}, mel)
 
     def __call__(self, mel):
         """mel: [B, T, n_mels] log-mel -> waveform [B, T * hop]."""
         if self._infer is None:
-            module = self.module
             scale = 1.0 / math.log(10.0) if self.name == "MelGAN" else 1.0
-
-            @jax.jit
-            def infer(params, mel):
-                return module.apply({"params": params}, mel * scale)
-
-            object.__setattr__(self, "_infer", infer)
+            fn = self.apply_fn
+            object.__setattr__(
+                self, "_infer", jax.jit(
+                    lambda params, mel: fn(params, mel * scale)))
         return self._infer(self.params, mel)
 
 
@@ -94,7 +106,7 @@ def get_vocoder(model_config, ckpt_dir=None, num_mels=None):
             params = module.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, 16, config["num_mels"])))["params"]
-        return Vocoder(name, module, params)
+        return Vocoder(name, module, params, config=config)
 
     if name == "MelGAN":
         module = MelGANGenerator()

@@ -108,8 +108,7 @@ class TTSPipeline:
                 # aux mel_pred is the diffuse trace; element 0 is the
                 # clamped normalized mel (matches `utils/tools.py:227-229`)
                 mel = model.schedule.denorm_spec(mel[0])
-            wav = vocoder.module.apply(
-                {"params": v_params}, (mel * in_scale).astype(dtype))
+            wav = vocoder.apply_fn(v_params, (mel * in_scale).astype(dtype))
             return wav.astype(jnp.float32), mel.astype(jnp.float32), \
                 out.mel_lens
 

@@ -65,7 +65,7 @@ def main():
 
     @jax.jit
     def vocode(vparams, mel):
-        return vocoder.module.apply({"params": vparams}, mel)
+        return vocoder.apply_fn(vparams, mel)
 
     args = (variables["params"], variables.get("batch_stats", {}),
             jax.random.PRNGKey(3), batch["speakers"], batch["texts"],

@@ -135,6 +135,41 @@ def test_subpixel_equals_transposed_conv():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_mrf_apply_matches_module():
+    """`fused_apply` (Pallas MRF kernel, interpreter off-TPU) must match
+    the flax module graph on the same params."""
+    from mixgantts_tpu.models.hifigan import fused_apply
+
+    fg = HiFiGANGenerator.from_config(SMALL_CONFIG)
+    mel = jnp.asarray(
+        np.random.RandomState(1).randn(2, 13, SMALL_CONFIG["num_mels"]),
+        jnp.float32)
+    params = fg.init(jax.random.PRNGKey(0), mel)["params"]
+    want = np.asarray(fg.apply({"params": params}, mel))
+    got = np.asarray(fused_apply(params, mel, SMALL_CONFIG))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_apply_bf16_snr():
+    """bf16 activations (the TPU default for fused_apply) must keep the
+    waveform close to fp32: SNR > 30 dB."""
+    from mixgantts_tpu.models.hifigan import fused_apply
+
+    fg = HiFiGANGenerator.from_config(SMALL_CONFIG)
+    mel = jnp.asarray(
+        np.random.RandomState(2).randn(1, 17, SMALL_CONFIG["num_mels"]),
+        jnp.float32)
+    params = fg.init(jax.random.PRNGKey(0), mel)["params"]
+    ref = np.asarray(fused_apply(params, mel, SMALL_CONFIG,
+                                 compute_dtype=jnp.float32))
+    lo = np.asarray(fused_apply(params, mel, SMALL_CONFIG,
+                                compute_dtype=jnp.bfloat16))
+    snr = 10 * np.log10(
+        (ref ** 2).mean() / max(((ref - lo) ** 2).mean(), 1e-12))
+    assert snr > 30, f"bf16 vocoder SNR too low: {snr:.1f} dB"
+
+
 def test_hifigan_output_length():
     fg = HiFiGANGenerator.from_config(DEFAULT_HIFIGAN_CONFIG)
     params = fg.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 80)))["params"]
