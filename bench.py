@@ -88,10 +88,11 @@ def main():
         best = min(best, (time.perf_counter() - start) / n_iters)
     elapsed = best
 
-    # audio seconds actually synthesized (predicted mel length)
-    frames = int(np.asarray(mel_lens)[0])
-    frames = max(frames, 1)
-    audio_seconds = frames * HOP / SAMPLING_RATE
+    # audio seconds synthesized: shapes are static, so the program always
+    # computes (and the vocoder always renders) max_mel_len frames — the
+    # random-init model's *predicted* length (a handful of frames) would
+    # understate the audio an equally-priced trained-model call yields
+    audio_seconds = max_mel_len * HOP / SAMPLING_RATE
     rtf = elapsed / audio_seconds
 
     print(json.dumps({
