@@ -192,19 +192,15 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
             preferred_element_type=jnp.float32)
         return (y + p["bias"]).astype(x.dtype)
 
-    def xla_mrf(x, stage, rks, dils):
-        # reference ResBlock1 math with lax convs (for C > 128 stages
-        # whose weights exceed VMEM; only the first stage in V1)
+    def branchwise_mrf(x, stage, rks, dils):
+        # C > 128: the full stage weights exceed VMEM, but one branch's
+        # fit — run the same kernel once per branch and average (the
+        # signal re-streams 3x, dwarfed by this stage's 32x-lower rate)
         acc = None
         for j, rk in enumerate(rks):
-            block = params[f"resblocks_{stage}_{j}"]
-            y = x
-            for c, d in enumerate(dils):
-                t = jax.nn.leaky_relu(y, LRELU_SLOPE)
-                t = conv1d(t, block[f"convs1_{c}"], dilation=d)
-                t = jax.nn.leaky_relu(t, LRELU_SLOPE)
-                t = conv1d(t, block[f"convs2_{c}"])
-                y = y + t
+            st = stack_mrf_params(params, stage, (rk,), dils,
+                                  branches=[(j, rk)])
+            y = mrf_stack(x, st, (rk,), dils, interpret=interpret)
             acc = y if acc is None else acc + y
         return acc / len(rks)
 
@@ -221,7 +217,7 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
             stacked = stack_mrf_params(params, i, rks, dils[0])
             x = mrf_stack(x, stacked, rks, dils[0], interpret=interpret)
         else:
-            x = xla_mrf(x, i, rks, dils[0])
+            x = branchwise_mrf(x, i, rks, dils[0])
     x = jax.nn.leaky_relu(x, LRELU_SLOPE)
     x = conv1d(x, params["conv_post"])
     return jnp.tanh(x.astype(jnp.float32))[..., 0]

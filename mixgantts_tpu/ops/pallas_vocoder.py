@@ -46,15 +46,19 @@ HALO = 64
 
 
 def stack_mrf_params(params, stage, kernel_sizes=(3, 7, 11),
-                     dilations=(1, 3, 5)):
+                     dilations=(1, 3, 5), branches=None):
     """HiFiGANGenerator param tree -> stacked per-(branch, pair) arrays.
 
     Returns dict with w1/w2 [3, 3, TAPS, C, C] (conv1 is the dilated one)
     and b1/b2 [3, 3, C]; taps are centred in the padded axis so tap t
-    contributes at time offset (t - TAPS//2) * d.
+    contributes at time offset (t - TAPS//2) * d.  `branches` restricts to
+    a subset of (branch_index, kernel_size) pairs (single-branch calls for
+    C > 128 stages whose full weights exceed VMEM).
     """
+    if branches is None:
+        branches = list(enumerate(kernel_sizes))
     w1, b1, w2, b2 = [], [], [], []
-    for j, rk in enumerate(kernel_sizes):
+    for j, rk in branches:
         block = params[f"resblocks_{stage}_{j}"]
         w1j, b1j, w2j, b2j = [], [], [], []
         for c in range(len(dilations)):
@@ -147,7 +151,7 @@ def _auto_tile(T, C):
     C-independent below 128; weights (resident) shrink with C."""
     # the taps-in-K concat buffer [tile_h, 11*C] dominates VMEM at large C;
     # tiles as large as fit, to amortize the 2*HALO=128-frame halo
-    budget = 1024 if C >= 128 else 3072
+    budget = 3072 if C < 128 else (1024 if C == 128 else 512)
     return min(budget, -(-T // 8) * 8)
 
 
@@ -164,11 +168,11 @@ def mrf_stack(x, stacked, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5),
         stacked = dict(stacked, w1=stacked["w1"].astype(jnp.bfloat16),
                        w2=stacked["w2"].astype(jnp.bfloat16))
     B, T, C = x.shape
-    if C > 128 and not interpret:
-        raise ValueError(
-            f"mrf_stack: C={C} > 128 — stage weights exceed VMEM; keep "
-            "this stage on the XLA path")
     n_branch, n_pair = stacked["w1"].shape[:2]
+    if C > 128 and n_branch > 1 and not interpret:
+        raise ValueError(
+            f"mrf_stack: C={C} > 128 with {n_branch} branches — stage "
+            "weights exceed VMEM; run one single-branch call per branch")
     if tile is None:
         tile = _auto_tile(T, C)
     tile = min(tile, -(-max(8, T) // 8) * 8)
