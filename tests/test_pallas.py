@@ -117,3 +117,76 @@ def test_fused_stack_bfloat16():
     sscale = float(np.abs(np.asarray(s32)).max())
     assert np.abs(np.asarray(s16, np.float32)
                   - np.asarray(s32)).mean() / sscale < 0.02
+
+
+# --- HiFi-GAN fused MRF stack (ops/pallas_vocoder.py) ------------------------
+
+import jax.numpy as jnp
+
+def _mrf_stage(C, rks=(3, 7, 11)):
+    from flax import linen as nn
+    from mixgantts_tpu.models.hifigan import ResBlock1
+
+    class Stage(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            acc = None
+            for j, rk in enumerate(rks):
+                y = ResBlock1(C, rk, (1, 3, 5), name=f"resblocks_0_{j}")(x)
+                acc = y if acc is None else acc + y
+            return acc / len(rks)
+
+    return Stage()
+
+
+def test_mrf_stack_matches_flax():
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, stack_mrf_params,
+    )
+
+    C, T, B = 16, 100, 2
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(0), x)["params"]
+    want = stage.apply({"params": params}, x)
+    got = mrf_stack(x, stack_mrf_params(params, 0), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_stack_tiled_halo():
+    """Multi-tile path: the 64-frame halo + circular boundary handling
+    must reproduce SAME zero-padding exactly across tile seams."""
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, stack_mrf_params,
+    )
+
+    C, T = 16, 100
+    x = jnp.asarray(np.random.RandomState(1).randn(1, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(1), x)["params"]
+    want = stage.apply({"params": params}, x)
+    got = mrf_stack(x, stack_mrf_params(params, 0), tile=48, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_stack_single_branch():
+    """Single-branch calls (the C > 128 stage path) match that branch of
+    the flax stack."""
+    from flax import linen as nn
+    from mixgantts_tpu.models.hifigan import ResBlock1
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, stack_mrf_params,
+    )
+
+    C, T = 16, 64
+    x = jnp.asarray(np.random.RandomState(2).randn(1, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(2), x)["params"]
+    block = ResBlock1(C, 7, (1, 3, 5), name="resblocks_0_1")
+    want = block.apply({"params": params["resblocks_0_1"]}, x)
+    st = stack_mrf_params(params, 0, (7,), branches=[(1, 7)])
+    got = mrf_stack(x, st, (7,), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
