@@ -67,10 +67,11 @@ def main():
     def vocode(vparams, mel):
         return vocoder.apply_fn(vparams, mel)
 
-    args = (variables["params"], variables.get("batch_stats", {}),
-            jax.random.PRNGKey(3), batch["speakers"], batch["texts"],
-            batch["src_lens"], batch["word_boundaries"],
-            batch["src_w_lens"])
+    args = jax.device_put(
+        (variables["params"], variables.get("batch_stats", {}),
+         jax.random.PRNGKey(3), batch["speakers"], batch["texts"],
+         batch["src_lens"], batch["word_boundaries"],
+         batch["src_w_lens"]))
     @jax.jit
     def combined(params, batch_stats, vparams, rng, speakers, texts,
                  src_lens, word_boundaries, src_w_lens):
@@ -79,16 +80,17 @@ def main():
             speakers=speakers, texts=texts, src_lens=src_lens,
             word_boundaries=word_boundaries, src_w_lens=src_w_lens,
             max_mel_len=max_mel_len, train=False, rngs={"diffusion": rng})
-        wav = vocoder.module.apply({"params": vparams}, out.mel_pred)
+        wav = vocoder.apply_fn(vparams, out.mel_pred)
         return wav, out.mel_lens
 
     mel = acoustic(*args)
     t_ac = timeit(acoustic, *args)
     t_voc = timeit(vocode, vocoder.params, mel)
-    cargs = (variables["params"], variables.get("batch_stats", {}),
-             vocoder.params, jax.random.PRNGKey(3), batch["speakers"],
-             batch["texts"], batch["src_lens"], batch["word_boundaries"],
-             batch["src_w_lens"])
+    cargs = jax.device_put(
+        (variables["params"], variables.get("batch_stats", {}),
+         vocoder.params, jax.random.PRNGKey(3), batch["speakers"],
+         batch["texts"], batch["src_lens"], batch["word_boundaries"],
+         batch["src_w_lens"]))
     t_comb = timeit(combined, *cargs)
     # two-program chain (acoustic out feeds vocoder, both pipelined)
     def chain(*a):
