@@ -77,17 +77,25 @@ def stack_mrf_params(params, stage, kernel_sizes=(3, 7, 11),
             "w2": jnp.stack(w2), "b2": jnp.stack(b2)}
 
 
-def _shift(a, s, C):
-    """Static shift along the time (sublane) axis, zero-filling."""
+def _shift(a, s, C, circular=False):
+    """Static shift along the time (sublane) axis.
+
+    `circular=True` uses a rotate instead of zero-fill concat copies: the
+    wrapped rows are garbage, but every conv's receptive creep from a tile
+    edge totals <= 60 < HALO frames, so the corruption never reaches the
+    written tile centre (same argument as the halo itself).  Kept off in
+    interpreter mode so CPU tests check the exact zero-padding path."""
     if s == 0:
         return a
+    if circular:
+        return jnp.roll(a, s, axis=0)
     z = jnp.zeros((abs(s), C), a.dtype)
     if s > 0:  # rows move down: out[i] = a[i - s]
         return jnp.concatenate([z, a[:-s]], axis=0)
     return jnp.concatenate([a[-s:], z], axis=0)
 
 
-def _conv(t, w, b, d, C, nonzero_taps):
+def _conv(t, w, b, d, C, nonzero_taps, circular=False):
     """Padded-11-tap dilated conv: out[i] = sum_t t[i + (tap-5)*d] @ W[tap].
     `nonzero_taps` statically skips the zero-padded taps of small kernels.
 
@@ -100,19 +108,21 @@ def _conv(t, w, b, d, C, nonzero_taps):
     if C >= 128:
         acc = None
         for tap in nonzero_taps:
-            r = jnp.dot(_shift(t, -(tap - half) * d, C), w[tap].astype(
-                t.dtype), preferred_element_type=jnp.float32)
+            r = jnp.dot(_shift(t, -(tap - half) * d, C, circular),
+                        w[tap].astype(t.dtype),
+                        preferred_element_type=jnp.float32)
             acc = r if acc is None else acc + r
         return acc + b
     t_cat = jnp.concatenate(
-        [_shift(t, -(tap - half) * d, C) for tap in nonzero_taps], axis=1)
+        [_shift(t, -(tap - half) * d, C, circular)
+         for tap in nonzero_taps], axis=1)
     w_cat = w[nonzero_taps[0]:nonzero_taps[-1] + 1].reshape(
         len(nonzero_taps) * C, C)
     return jnp.dot(t_cat, w_cat.astype(t.dtype),
                    preferred_element_type=jnp.float32) + b
 
 
-def _kernel(T, tile, kernel_sizes, dilations, x_ref,
+def _kernel(T, tile, kernel_sizes, dilations, circular, x_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, out_ref, y_s, acc_s):
     t_idx = pl.program_id(1)
     C = x_ref.shape[-1]
@@ -133,10 +143,10 @@ def _kernel(T, tile, kernel_sizes, dilations, x_ref,
             t = (jax.nn.leaky_relu(y_s[:], LRELU_SLOPE)
                  * mask).astype(op_dtype)
             t = _conv(t, w1_ref[br, p], b1_ref[br, p].astype(jnp.float32),
-                      d, C, taps)
+                      d, C, taps, circular)
             t = (jax.nn.leaky_relu(t, LRELU_SLOPE) * mask).astype(op_dtype)
             t = _conv(t, w2_ref[br, p], b2_ref[br, p].astype(jnp.float32),
-                      1, C, taps)
+                      1, C, taps, circular)
             y_s[:] = y_s[:] + t
         if br == 0:
             acc_s[:] = y_s[:]
@@ -156,7 +166,7 @@ def _auto_tile(T, C):
 
 
 def mrf_stack(x, stacked, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5),
-              tile=None, interpret=None):
+              tile=None, interpret=None, circular=None):
     """x [B, T, C] with C <= 128, stacked from `stack_mrf_params`.
     Returns the averaged 3-branch MRF output [B, T, C] — identical (fp32
     tolerance) to the ResBlock1 stack in models/hifigan.py."""
@@ -192,8 +202,12 @@ def mrf_stack(x, stacked, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5),
         # to fp32 on load and accumulates in fp32 throughout
         x_tiles = x_tiles.astype(jnp.bfloat16)
 
+    if circular is None:
+        # measured: rotate beats the zero-fill concat only at C=32
+        # (5.8 vs 7.5 ms for the T=221k stage); at C>=64 it is slower
+        circular = (not interpret) and C <= 32
     kernel = functools.partial(_kernel, T, tile, tuple(kernel_sizes),
-                               tuple(dilations))
+                               tuple(dilations), circular)
     const = lambda b, t: (0, 0, 0, 0, 0)
     out = pl.pallas_call(
         kernel,

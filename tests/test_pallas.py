@@ -190,3 +190,23 @@ def test_mrf_stack_single_branch():
     got = mrf_stack(x, st, (7,), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_stack_circular_shifts_exact_in_centre():
+    """The TPU path uses circular rotates for the tap shifts; the wrapped
+    garbage must never reach the written tile centre (receptive creep
+    60 < HALO 64).  Force circular=True in the interpreter and require
+    equality with the zero-fill reference."""
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, stack_mrf_params,
+    )
+
+    C, T = 16, 150
+    x = jnp.asarray(np.random.RandomState(3).randn(1, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(3), x)["params"]
+    want = stage.apply({"params": params}, x)
+    st = stack_mrf_params(params, 0)
+    got = mrf_stack(x, st, tile=56, interpret=True, circular=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
