@@ -282,3 +282,35 @@ def test_synthesize_batch_from_text(workspace, monkeypatch):
     wavs = [f for f in os.listdir(result_dir)
             if f.endswith(".wav") and "teacher" not in f]
     assert len(wavs) >= 1
+
+
+def test_train_cli_chunked_matches_single_step(workspace):
+    """--steps_per_call 2 (scan-chunked dispatch) must reproduce the k=1
+    loss trajectory: same rng stream, same step semantics, checkpoints at
+    the exact reference steps."""
+    import re
+
+    from mixgantts_tpu.cli.common import load_configs
+    from mixgantts_tpu.cli.train import main
+
+    logs = {}
+    for k, tag in ((1, "k1"), (2, "k2")):
+        args = _args(model="naive", dataset="TestCorpus", restore_step=0,
+                     path_tag=tag, seed=0, data_parallel=False,
+                     steps_per_call=k)
+        configs = load_configs(args)
+        main(args, configs)
+        ckpt_dir = configs[2]["path"]["ckpt_path"]
+        assert os.path.isdir(os.path.join(ckpt_dir, "2")), tag
+        assert os.path.isdir(os.path.join(ckpt_dir, "4")), tag
+        with open(os.path.join(configs[2]["path"]["log_path"], "train",
+                               "log.txt")) as f:
+            logs[tag] = f.read()
+
+    losses = {
+        tag: [float(x) for x in re.findall(r"-?\d+\.\d+", text)]
+        for tag, text in logs.items()
+    }
+    assert len(losses["k1"]) == len(losses["k2"]) > 0
+    for a, b in zip(losses["k1"], losses["k2"]):
+        assert abs(a - b) < 1e-3, (losses["k1"], losses["k2"])
