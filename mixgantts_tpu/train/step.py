@@ -115,6 +115,10 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
 
     # --- GAN modes (naive / shallow) ---------------------------------------
 
+    if tpu_cfg.get("reuse_g_forward", False):
+        return _make_reuse_gan_step(loss_cfg, sched, opt_gan,
+                                    g_forward, d_apply)
+
     def step_fn(state, batch):
         rng, r1d, r1f, r2d, r2f = jax.random.split(state.rng, 5)
 
@@ -165,6 +169,101 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
 
         (G_loss, (losses, adv_loss, new_bs)), g_grads = jax.value_and_grad(
             g_loss, has_aux=True)(state.g_params)
+        g_updates, new_opt_g = opt_gan.update(
+            g_grads, state.opt_g, state.g_params)
+        g_updates = apply_lr(g_updates, state.lr_g)
+        new_g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates)
+
+        metrics = dict(losses)
+        metrics.update(total_loss=D_loss + G_loss, D_loss=D_loss,
+                       G_loss=G_loss, adv_loss=adv_loss)
+        state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_batch_stats=new_bs,
+            d_params=new_d_params,
+            opt_g=new_opt_g, opt_d=new_opt_d, rng=rng)
+        return state, metrics
+
+    return step_fn
+
+
+def _make_reuse_gan_step(loss_cfg, sched, opt_gan, g_forward, d_apply):
+    """GAN step with ONE generator forward (`tpu.reuse_g_forward: true`).
+
+    The reference runs two full generator forwards per step — the D phase
+    trains on pass 1's detached outputs, the G phase re-samples fresh
+    noise/timesteps (`train.py:133,153`).  This opt-in variant linearizes
+    a single forward with `jax.vjp`: its detached outputs feed the D
+    update, then the G losses (against the updated D) are differentiated
+    w.r.t. the float outputs and pulled back through the saved
+    linearization.  Saves one generator forward (~20%% of the step) at
+    the cost of D and G seeing the same (t, noise) draws that step — a
+    small departure from reference training semantics, hence off by
+    default."""
+    import numpy as np
+
+    from ..losses import generator_loss
+
+    def step_fn(state, batch):
+        rng, rd, rf = jax.random.split(state.rng, 3)
+
+        def fwd(g_params):
+            return g_forward(g_params, state.g_batch_stats, batch,
+                             {"dropout": rd, "diffusion": rf})
+
+        out, vjp_fn, new_bs = jax.vjp(fwd, state.g_params, has_aux=True)
+
+        # Phase 1: D update on the (naturally detached) primal outputs.
+        def d_loss(d_params):
+            fake_c, fake_u = d_apply(d_params, out.x_ts,
+                                     out.x_t_prev_preds, out.speaker_emb,
+                                     out.diffusion_step)
+            real_c, real_u = d_apply(d_params, out.x_ts, out.x_t_prevs,
+                                     out.speaker_emb, out.diffusion_step)
+            r_loss, f_loss = d_loss_fn(
+                real_c[-1], real_u[-1], fake_c[-1], fake_u[-1])
+            return r_loss + f_loss
+
+        D_loss, d_grads = jax.value_and_grad(d_loss)(state.d_params)
+        d_updates, new_opt_d = opt_gan.update(
+            d_grads, state.opt_d, state.d_params)
+        d_updates = apply_lr(d_updates, state.lr_d)
+        new_d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates)
+
+        # Phase 2: differentiate the G losses w.r.t. the forward's float
+        # outputs, then pull back through the saved linearization.
+        flat, treedef = jax.tree_util.tree_flatten(out)
+        fidx = [i for i, l in enumerate(flat)
+                if jnp.issubdtype(l.dtype, jnp.floating)]
+
+        def g_loss_from(floats):
+            leaves = list(flat)
+            for i, l in zip(fidx, floats):
+                leaves[i] = l
+            o = jax.tree_util.tree_unflatten(treedef, leaves)
+            fake_c, fake_u = d_apply(new_d_params, o.x_ts,
+                                     o.x_t_prev_preds, o.speaker_emb,
+                                     o.diffusion_step)
+            real_c, real_u = d_apply(new_d_params, o.x_ts, o.x_t_prevs,
+                                     o.speaker_emb, o.diffusion_step)
+            adv_loss = g_loss_fn(fake_c[-1], fake_u[-1])
+            losses = generator_loss(
+                loss_cfg, sched, o, batch["mels"], batch["p_targets"],
+                batch["e_targets"], step=state.step,
+                Ds=(real_c, real_u, fake_c, fake_u))
+            G_loss = adv_loss + losses["recon_loss"] + losses["fm_loss"]
+            return G_loss, (losses, adv_loss)
+
+        (G_loss, (losses, adv_loss)), fgrads = jax.value_and_grad(
+            g_loss_from, has_aux=True)([flat[i] for i in fidx])
+        fset = dict(zip(fidx, fgrads))
+        cot = [fset[i] if i in fset
+               else np.zeros(np.shape(l), jax.dtypes.float0)
+               for i, l in enumerate(flat)]
+        g_grads, = vjp_fn(jax.tree_util.tree_unflatten(treedef, cot))
+
         g_updates, new_opt_g = opt_gan.update(
             g_grads, state.opt_g, state.g_params)
         g_updates = apply_lr(g_updates, state.lr_g)
