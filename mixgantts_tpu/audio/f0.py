@@ -53,13 +53,31 @@ def extract_f0(wav, sr, hop_length, f0_floor=71.0, f0_ceil=800.0,
     spec = np.fft.rfft(frames, n=nfft, axis=1)
     ac = np.fft.irfft(np.abs(spec) ** 2, axis=1)[:, :win]
     ac0 = np.maximum(ac[:, :1], 1e-12)
-    nac = ac / ac0
+    # Unbiased normalization: the zero-padded linear autocorrelation of a
+    # perfectly periodic frame still decays as (win - lag)/win, so without
+    # this correction the small-lag shoulder outscores the true period peak
+    # for low F0 (lag near win/2) — Praat divides by the window
+    # autocorrelation the same way (`utils/pitch_tools.py:84-121` backend).
+    lags = np.arange(win)
+    norm = np.maximum(win - lags, 1) / win
+    nac = ac / ac0 / norm[None, :]
 
     lag_min = max(int(sr / f0_ceil), 2)
     lag_max = min(int(sr / f0_floor), win - 2)
-    search = nac[:, lag_min:lag_max]
+    # Period candidates must be true local maxima: a raw argmax that lands
+    # on the lag_min boundary is the still-decaying lag-0 shoulder, not a
+    # pitch peak.  A small octave cost (Praat-style) favors the shorter
+    # lag when two harmonically-related peaks tie within noise.
+    is_peak = np.zeros_like(nac, dtype=bool)
+    is_peak[:, 1:-1] = ((nac[:, 1:-1] >= nac[:, :-2])
+                        & (nac[:, 1:-1] >= nac[:, 2:]))
+    octave_cost = 0.01
+    score = np.where(is_peak, nac, -np.inf) \
+        - octave_cost * np.log2(np.maximum(lags, 1) / lag_min)
+    search = score[:, lag_min:lag_max]
     peak_rel = np.argmax(search, axis=1)
     peak = peak_rel + lag_min
+    has_peak = np.isfinite(search[np.arange(n_frames), peak_rel])
 
     # parabolic interpolation around the peak
     rows = np.arange(n_frames)
@@ -75,7 +93,7 @@ def extract_f0(wav, sr, hop_length, f0_floor=71.0, f0_ceil=800.0,
 
     f0 = sr / lag
     energy = np.sqrt(np.mean(frames ** 2, axis=1))
-    voiced = (y1 > voicing_threshold) & (energy > 1e-4) \
+    voiced = has_peak & (y1 > voicing_threshold) & (energy > 1e-4) \
         & (f0 >= f0_floor) & (f0 <= f0_ceil)
     f0 = np.where(voiced, f0, 0.0)
 

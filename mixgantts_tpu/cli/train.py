@@ -162,9 +162,17 @@ def main(args, configs):
 
     step = args.restore_step + 1  # next step to run
     epoch = int(state.epoch)
-    # batches buffered per (mel_len, phone_len) bucket shape until k of the
-    # same shape are available for one stacked scan dispatch; partial
-    # buffers (epoch boundaries, end of training) flush as single steps
+    # batches buffered per bucket-shape key until k of the same shape are
+    # available for one stacked scan dispatch; partial buffers (epoch
+    # boundaries, end of training) flush as single steps.  The key is the
+    # FULL tuple of device-batch leaf shapes (not just mel/text lengths):
+    # word_boundaries pads to its own phone bucket, so two batches can share
+    # (mel_len, text_len) but differ on the word axis — np.stack would raise.
+    # NOTE: with k > 1 this buffering consumes batches grouped by shape
+    # rather than in strict arrival order, so the data order a given step
+    # sees can depart from the reference/k=1 trajectory whenever the corpus
+    # spans multiple shape buckets (each batch is still trained exactly
+    # once; only the interleaving differs).
     buffers = {}
     periods = [cfg_step["log_step"], cfg_step["synth_step"],
                cfg_step["val_step"], cfg_step["save_step"]]
@@ -274,7 +282,8 @@ def main(args, configs):
                     lr_d=state.lr_d * gamma)
             continue
 
-        key = (batch["mels"].shape[1], batch["texts"].shape[1])
+        key = tuple(sorted(
+            (name, np.shape(v)) for name, v in model_batch_of(batch).items()))
         buf = buffers.setdefault(key, [])
         buf.append(batch)
         # cap the chunk at total_step and at periodic-action boundaries

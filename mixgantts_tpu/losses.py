@@ -37,9 +37,13 @@ def g_loss_fn(f_logit_cond, f_logit_uncond):
 
 
 def get_adversarial_losses_fn(mode):
+    """Adversarial loss pair keyed by `train.yaml loss.adv_loss_mode`
+    (`model/loss.py:32-37` raises NotImplementedError likewise)."""
     if mode == "lsgan":
         return d_loss_fn, g_loss_fn
-    raise NotImplementedError(mode)
+    raise NotImplementedError(
+        f"loss.adv_loss_mode={mode!r}: only 'lsgan' is implemented "
+        f"(matches the reference)")
 
 
 # --- reconstruction helpers --------------------------------------------------
@@ -175,12 +179,33 @@ class LossConfig(NamedTuple):
     ctc_weight_start: float = 1.0
     ctc_weight_end: float = 1.0
     n_disc_layers: int = 5          # n_layer + n_cond_layer
+    adv_loss_mode: str = "lsgan"
 
     @classmethod
     def from_configs(cls, mode, model_config, train_config):
         lc = train_config["loss"]
         al = train_config["aligner"]
         dc = model_config["discriminator"]
+        # Fail loudly on loss-selection keys requesting unimplemented
+        # behavior.  In the reference only adv_loss_mode is live
+        # (`model/loss.py:74`); noise_loss is stored but never read
+        # (`model/diffusion.py:59`) and dur_loss/pitch_loss are decorative
+        # config keys (the code hardcodes log-MSE duration and MSE
+        # pitch/energy regardless).  We accept exactly the shipped values
+        # and raise otherwise rather than silently running the defaults.
+        get_adversarial_losses_fn(lc.get("adv_loss_mode", "lsgan"))
+        for key, implemented in (("noise_loss", "l1"), ("dur_loss", "mse"),
+                                 ("pitch_loss", "l1")):
+            val = lc.get(key, implemented)
+            if val != implemented:
+                raise NotImplementedError(
+                    f"train.yaml loss.{key}={val!r}: only {implemented!r} "
+                    f"is implemented (the reference ships this value and "
+                    f"never branches on it)")
+        if al["helper_type"] not in ("dga", "ctc", "none"):
+            raise NotImplementedError(
+                f"aligner.helper_type={al['helper_type']!r}: "
+                f"expected 'dga', 'ctc' or 'none'")
         return cls(
             mode=mode,
             lambda_d=lc["lambda_d"], lambda_p=lc["lambda_p"],
@@ -195,6 +220,7 @@ class LossConfig(NamedTuple):
             ctc_weight_start=al.get("ctc_weight_start", 1.0),
             ctc_weight_end=al.get("ctc_weight_end", 1.0),
             n_disc_layers=dc["n_layer"] + dc["n_cond_layer"],
+            adv_loss_mode=lc.get("adv_loss_mode", "lsgan"),
         )
 
 

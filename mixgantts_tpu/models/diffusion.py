@@ -106,12 +106,15 @@ class DiffusionSchedule:
     # --- inference ----------------------------------------------------------
 
     def sampling(self, denoise_fn, rng, cond, spk_emb, noise=None,
-                 clip_denoised=True, return_trace=False):
+                 clip_denoised=True, return_trace=False, step_noises=None):
         """Reverse process from pure noise (or a provided start) to x0.
 
         denoise_fn(x_t, t, cond, spk_emb) -> x0 prediction (normalized).
         The loop over T <= 4 steps is a static Python loop, fully unrolled
         and fused by XLA (`model/diffusion.py:155-165`).
+        `step_noises` optionally injects the per-step posterior noises
+        ([T, B, T_mel, n_mels], consumed t = T-1 .. 0) for deterministic /
+        parity-testable sampling.
         Returns the final normalized x0 ([B, T, n_mels]); with
         return_trace=True, the whole trajectory [T+1, B, T_mel, n_mels].
         """
@@ -123,13 +126,16 @@ class DiffusionSchedule:
         else:
             x = noise
         trace = [x]
-        for i in reversed(range(self.num_timesteps)):
+        for k, i in enumerate(reversed(range(self.num_timesteps))):
             t = jnp.full((B,), i, dtype=jnp.int32)
             x0_pred = denoise_fn(x, t, cond, spk_emb)
             if clip_denoised:
                 x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
-            rng, sub = jax.random.split(rng)
-            step_noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+            if step_noises is None:
+                rng, sub = jax.random.split(rng)
+                step_noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+            else:
+                step_noise = jnp.asarray(step_noises[k], dtype=x.dtype)
             x = self.q_posterior_sample(x0_pred, x, t, step_noise)
             trace.append(x)
         if return_trace:

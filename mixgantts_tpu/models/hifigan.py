@@ -208,6 +208,14 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
     kernels = tuple(config["upsample_kernel_sizes"])
     rks = tuple(config["resblock_kernel_sizes"])
     dils = tuple(tuple(d) for d in config["resblock_dilation_sizes"])
+    # the fused kernel shares one dilation schedule across branches (true
+    # for HiFi-GAN V1's [[1,3,5]]x3); per-branch dilations (V2/V3-style
+    # configs) would silently run the wrong taps — fail loudly instead
+    # (the flax path `HiFiGANGenerator.__call__` handles them fine)
+    if any(d != dils[0] for d in dils):
+        raise NotImplementedError(
+            f"fused_apply requires identical resblock_dilation_sizes per "
+            f"branch, got {dils}; use HiFiGANGenerator.apply instead")
     x = conv1d(mel, params["conv_pre"])
     for i, (u, k) in enumerate(zip(rates, kernels)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)

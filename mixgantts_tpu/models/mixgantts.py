@@ -170,7 +170,14 @@ class MixGANTTS(nn.Module):
         d_control=1.0,
         train=False,
         return_trace=False,  # inference only: mel_pred = full [S+1,...] trace
+        noise_override=None,  # dict of injected diffusion randomness (below)
     ):
+        # noise_override makes every diffusion draw deterministic (parity
+        # tests vs the torch reference, reproducible synthesis).  Keys —
+        # training: 't' [B] int, 'x_t_noise'/'x_t_prev_noise'/
+        # 'posterior_noise' [B,T,M]; inference: 'start_noise' [B,T,M]
+        # (naive: the initial x_T; shallow: the diffuse-to-x_{T-1} noise
+        # applied to the coarse mel) and 'step_noises' [S,B,T,M].
         shallow = self.mode == "shallow"
         if max_mel_len > self.max_seq_len:
             raise ValueError(
@@ -269,6 +276,7 @@ class MixGANTTS(nn.Module):
             def denoise_fn(x, t, c, s):
                 return denoiser(x, t, c, s)
 
+            ov = noise_override or {}
             if mels is None:
                 # ---- inference: few-step reverse process -------------------
                 rng = self.make_rng("diffusion")
@@ -276,23 +284,34 @@ class MixGANTTS(nn.Module):
                     rng, sub = jax.random.split(rng)
                     t_start = jnp.full((B,), sched.num_timesteps - 1,
                                        dtype=jnp.int32)
-                    noise0 = jax.random.normal(sub, coarse_in.shape,
-                                               dtype=output.dtype)
+                    noise0 = ov.get("start_noise")
+                    if noise0 is None:
+                        noise0 = jax.random.normal(sub, coarse_in.shape,
+                                                   dtype=output.dtype)
                     start = sched.diffuse(coarse_in, t_start, noise0) * maskf
                 else:
-                    start = None
+                    start = ov.get("start_noise")
                 x0 = sched.sampling(denoise_fn, rng, cond, spk, noise=start,
-                                    return_trace=return_trace)
+                                    return_trace=return_trace,
+                                    step_noises=ov.get("step_noises"))
                 mel_pred = sched.denorm_spec(x0) * (
                     maskf[None] if return_trace else maskf)
             else:
                 # ---- training: one random step -----------------------------
                 rng = self.make_rng("diffusion")
                 rngs = jax.random.split(rng, 4)
-                t_step = jax.random.randint(
-                    rngs[0], (B,), 0, sched.num_timesteps)
-                n1 = jax.random.normal(rngs[1], mels.shape, dtype=output.dtype)
-                n2 = jax.random.normal(rngs[2], mels.shape, dtype=output.dtype)
+                t_step = ov.get("t")
+                if t_step is None:
+                    t_step = jax.random.randint(
+                        rngs[0], (B,), 0, sched.num_timesteps)
+                n1 = ov.get("x_t_noise")
+                if n1 is None:
+                    n1 = jax.random.normal(rngs[1], mels.shape,
+                                           dtype=output.dtype)
+                n2 = ov.get("x_t_prev_noise")
+                if n2 is None:
+                    n2 = jax.random.normal(rngs[2], mels.shape,
+                                           dtype=output.dtype)
                 x_ts = sched.diffuse(mels, t_step, n1) * maskf
                 x_t_prevs = sched.diffuse(mels, t_step - 1, n2) * maskf
                 x0_pred = denoise_fn(x_ts, t_step, cond, spk) * maskf
@@ -301,7 +320,10 @@ class MixGANTTS(nn.Module):
                     x_start = sched.norm_spec(coarse_in)
                 else:
                     x_start = x0_pred
-                n3 = jax.random.normal(rngs[3], mels.shape, dtype=output.dtype)
+                n3 = ov.get("posterior_noise")
+                if n3 is None:
+                    n3 = jax.random.normal(rngs[3], mels.shape,
+                                           dtype=output.dtype)
                 x_t_prev_preds = sched.q_posterior_sample(
                     x_start, x_ts, t_step, n3) * maskf
                 mel_pred = x0_pred

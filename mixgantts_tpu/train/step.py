@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..losses import (
-    LossConfig, generator_loss, d_loss_fn, g_loss_fn,
+    LossConfig, generator_loss, get_adversarial_losses_fn,
 )
 from .optim import build_fs2_optimizer, build_gan_optimizer, apply_lr
 
@@ -46,6 +46,7 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
     fp32 losses; jax.grad of the cast yields fp32 grads).  Opt-in — the
     float32 default matches the reference's numerics."""
     loss_cfg = LossConfig.from_configs(mode, model_config, train_config)
+    d_loss_fn, g_loss_fn = get_adversarial_losses_fn(loss_cfg.adv_loss_mode)
     sched = model.schedule
     opt_fs2 = build_fs2_optimizer(model_config, train_config)
     opt_cfg = train_config["optimizer"]
@@ -117,7 +118,8 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
 
     if tpu_cfg.get("reuse_g_forward", False):
         return _make_reuse_gan_step(loss_cfg, sched, opt_gan,
-                                    g_forward, d_apply)
+                                    g_forward, d_apply,
+                                    d_loss_fn, g_loss_fn)
 
     def step_fn(state, batch):
         rng, r1d, r1f, r2d, r2f = jax.random.split(state.rng, 5)
@@ -188,7 +190,8 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
     return step_fn
 
 
-def _make_reuse_gan_step(loss_cfg, sched, opt_gan, g_forward, d_apply):
+def _make_reuse_gan_step(loss_cfg, sched, opt_gan, g_forward, d_apply,
+                         d_loss_fn, g_loss_fn):
     """GAN step with ONE generator forward (`tpu.reuse_g_forward: true`).
 
     The reference runs two full generator forwards per step — the D phase
@@ -305,6 +308,7 @@ def chunk_train_step(step_fn):
 def make_eval_step(mode, model, discriminator, model_config, train_config):
     """Loss computation without updates (parity: `evaluate.py:19-149`)."""
     loss_cfg = LossConfig.from_configs(mode, model_config, train_config)
+    d_loss_fn, g_loss_fn = get_adversarial_losses_fn(loss_cfg.adv_loss_mode)
     sched = model.schedule
 
     def eval_fn(state, batch, rng):

@@ -42,21 +42,25 @@ class StepProfiler:
         self.start = start_step
         self.stop = start_step + n_steps
         self._active = False
+        self._done = False
 
     def step(self, step):
-        if self.log_dir is None:
+        if self.log_dir is None or self._done:
             return
         # >= comparisons: with k-step chunked dispatch the observed step
-        # values advance in jumps and may never equal start/stop exactly
-        if self.start <= step < self.stop and not self._active:
-            jax.profiler.start_trace(self.log_dir)
-            self._active = True
-            print(f"profiler: tracing steps {self.start}..{self.stop - 1} "
-                  f"-> {self.log_dir}")
-        elif step >= self.stop and self._active:
+        # values advance in jumps and may never equal start/stop exactly —
+        # a segment can even jump clean over [start, stop), so the start
+        # condition is plain `step >= start` (the trace then covers the
+        # next segment instead of silently never starting)
+        if step >= self.stop and self._active:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
             print(f"profiler: trace written to {self.log_dir}")
+        elif step >= self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+            print(f"profiler: tracing steps >= {step} -> {self.log_dir}")
 
     def close(self):
         if self._active:

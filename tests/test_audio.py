@@ -73,6 +73,89 @@ def test_f0_silence_is_unvoiced():
     assert (f0 == 0).all()
 
 
+# --- adversarial F0 cases (VERDICT r1 #8) ------------------------------------
+# The in-repo NCCF tracker replaces the reference's pyworld/praat backends
+# (`preprocessor/preprocessor.py:294-300`, `utils/pitch_tools.py:84-121`,
+# both absent from this image); these cases bound its behavior on the
+# classic pitch-tracker failure modes.
+
+SR, HOP = 22050, 256
+
+
+def _harmonic_tone(f0_fn, dur=1.0, amp_fn=None, noise=0.0, seed=0):
+    t = np.arange(int(SR * dur)) / SR
+    phase = 2 * np.pi * np.cumsum(f0_fn(t)) / SR
+    x = np.sin(phase) + 0.5 * np.sin(2 * phase) + 0.3 * np.sin(3 * phase)
+    if amp_fn is not None:
+        x = x * amp_fn(t)
+    if noise:
+        x = x + noise * np.random.RandomState(seed).randn(len(x))
+    return x
+
+
+def _track_error(f0, f0_fn):
+    t = np.arange(len(f0)) * HOP / SR
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9, f"only {voiced.mean():.0%} voiced"
+    target = f0_fn(t)
+    rel = np.abs(f0[voiced] - target[voiced]) / target[voiced]
+    return np.median(rel)
+
+
+def test_f0_vibrato():
+    f = lambda t: 150.0 * (1 + 0.05 * np.sin(2 * np.pi * 6 * t))
+    err = _track_error(extract_f0(_harmonic_tone(f), SR, HOP), f)
+    assert err < 0.02, err
+
+
+def test_f0_amplitude_modulation():
+    f = lambda t: 200.0 * np.ones_like(t)
+    am = lambda t: 0.5 * (1 + 0.95 * np.sin(2 * np.pi * 4 * t))
+    err = _track_error(extract_f0(_harmonic_tone(f, amp_fn=am), SR, HOP), f)
+    assert err < 0.02, err
+
+
+def test_f0_octave_error_bait():
+    # weak fundamental under strong 2nd/3rd harmonics: a naive peak-picker
+    # reports 220 Hz; the octave cost + local-maximum rule must keep 110
+    t = np.arange(SR) / SR
+    x = (0.2 * np.sin(2 * np.pi * 110 * t)
+         + 1.0 * np.sin(2 * np.pi * 220 * t)
+         + 0.5 * np.sin(2 * np.pi * 330 * t))
+    f0 = extract_f0(x, SR, HOP)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    np.testing.assert_allclose(np.median(voiced), 110.0, rtol=0.02)
+
+
+def test_f0_additive_noise():
+    f = lambda t: 180.0 * np.ones_like(t)
+    err = _track_error(
+        extract_f0(_harmonic_tone(f, noise=0.35), SR, HOP), f)
+    assert err < 0.03, err
+
+
+def test_f0_creaky_low():
+    # 75 Hz sits near the lag ceiling (win/2); the biased-autocorrelation
+    # shoulder used to swallow this entirely (0% voiced before the
+    # unbiased-normalization fix)
+    f = lambda t: 75.0 * np.ones_like(t)
+    err = _track_error(extract_f0(_harmonic_tone(f), SR, HOP), f)
+    assert err < 0.02, err
+
+
+def test_f0_glide():
+    f = lambda t: 120.0 * 2.0 ** (0.5 * t)  # half-octave/s sweep
+    err = _track_error(extract_f0(_harmonic_tone(f), SR, HOP), f)
+    assert err < 0.02, err
+
+
+def test_f0_low_level_noise_stays_unvoiced():
+    x = 1e-3 * np.random.RandomState(0).randn(SR)
+    f0 = extract_f0(x, SR, HOP)
+    assert (f0 == 0).all()
+
+
 def test_f0_coarse_range():
     f0 = np.array([0.0, 50.0, 440.0, 1100.0])
     coarse = f0_to_coarse(f0)
@@ -83,6 +166,25 @@ def test_interpolate_unvoiced():
     pitch = np.array([0.0, 100.0, 0.0, 0.0, 200.0, 0.0])
     out = interpolate_unvoiced(pitch)
     np.testing.assert_allclose(out, [100, 100, 400 / 3, 500 / 3, 200, 200])
+
+
+def test_cwt_roundtrip_correlation():
+    """`inverse_cwt(get_lf0_cwt(x))` must reconstruct the (mean-removed)
+    contour up to scale: the reference's CWT pair
+    (`utils/pitch_tools.py:175-282`) is likewise a correlation-grade
+    approximate inverse, not an exact one (VERDICT r1 #9)."""
+    from mixgantts_tpu.audio.f0 import get_lf0_cwt, inverse_cwt
+
+    r = np.random.RandomState(1)
+    T = 400
+    lf0 = np.log2(150 + 30 * np.sin(np.linspace(0, 6, T))
+                  + 0.5 * np.cumsum(r.randn(T)))
+    comp, scales = get_lf0_cwt(lf0)
+    assert comp.shape == (T, 10) and scales.shape == (10,)
+    rec = inverse_cwt(comp, scales)
+    centered = lf0 - lf0.mean()
+    corr = np.corrcoef(rec, centered)[0, 1]
+    assert corr > 0.95, corr
 
 
 def test_norm_interp_f0_log():

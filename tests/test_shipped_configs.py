@@ -43,3 +43,32 @@ def test_shipped_config_builds_model(dataset):
 def test_unknown_dataset_errors():
     with pytest.raises(FileNotFoundError, match="NoSuch"):
         get_configs_of("NoSuch")
+
+
+@pytest.mark.parametrize("key,bogus", [
+    ("adv_loss_mode", "hinge"),
+    ("noise_loss", "l2"),
+    ("dur_loss", "l1"),
+    ("pitch_loss", "mse"),
+])
+def test_bogus_loss_config_fails_loudly(key, bogus):
+    """Loss-selection keys requesting unimplemented behavior must raise at
+    step-build time, not silently run the defaults (VERDICT r1 #6; the
+    reference raises only for adv_loss_mode, `model/loss.py:32-37`)."""
+    from mixgantts_tpu.losses import LossConfig
+
+    pre, mc, tc = get_configs_of("LJSpeech")
+    tc["loss"][key] = bogus
+    with pytest.raises(NotImplementedError, match=key if key ==
+                       "adv_loss_mode" else bogus):
+        LossConfig.from_configs("naive", mc, tc)
+
+
+def test_shipped_loss_config_validates():
+    from mixgantts_tpu.losses import LossConfig
+
+    for dataset in ("LJSpeech", "AISHELL3"):
+        pre, mc, tc = get_configs_of(dataset)
+        for mode in ("naive", "aux", "shallow"):
+            cfg = LossConfig.from_configs(mode, mc, tc)
+            assert cfg.adv_loss_mode == "lsgan"
