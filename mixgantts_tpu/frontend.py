@@ -9,9 +9,9 @@ The reference's external `g2p_en` / `pypinyin` packages are not available
 here, so:
 - English OOV words fall back to an in-repo rule-based letter-to-sound
   (covers the common digraphs; anything unpronounceable becomes "spn"),
-- Mandarin input is accepted as TONE3 pinyin tokens directly (e.g.
-  "ni3 hao3"); raw-hanzi conversion requires a pinyin lexicon of characters
-  which ships with AISHELL3-style corpora.
+- Mandarin input is accepted as raw hanzi (converted by the in-repo
+  curated table in `text/hanzi.py`, pypinyin-equivalent TONE3 output) or
+  directly as TONE3 pinyin tokens (e.g. "ni3 hao3").
 """
 
 import os
@@ -120,16 +120,23 @@ _PINYIN_RE = re.compile(r"^[a-z]+[1-5]$")
 
 
 def preprocess_mandarin(text, preprocess_config, verbose=True):
+    from .text.hanzi import contains_hanzi, hanzi_to_pinyin
     from .text.pinyin import pinyin_to_phones
 
     lex_path = preprocess_config["path"]["lexicon_path"]
     lexicon = read_lexicon(lex_path) if os.path.isfile(lex_path) else {}
 
-    tokens = text.strip().split()
-    if not all(_PINYIN_RE.match(t) or not t for t in tokens):
-        raise ValueError(
-            "Mandarin input must be TONE3 pinyin tokens (e.g. 'ni3 hao3'); "
-            "raw-hanzi conversion needs an external pinyin converter.")
+    if contains_hanzi(text):
+        # raw Chinese text -> TONE3 tokens, like the reference's pypinyin
+        # call (`synthesize.py:78-81`); punctuation/unknowns pass through
+        # and miss the lexicon below -> "sp", reference behavior
+        tokens = hanzi_to_pinyin(text)
+    else:
+        tokens = text.strip().split()
+        if not all(_PINYIN_RE.match(t) or not t for t in tokens):
+            raise ValueError(
+                "Mandarin input must be hanzi or TONE3 pinyin tokens "
+                "(e.g. '你好' or 'ni3 hao3')")
     phones, word_boundaries = [], []
     for p in tokens:
         # lexicon first (reference behavior), rule-based decomposition as

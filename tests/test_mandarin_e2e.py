@@ -114,13 +114,17 @@ def test_zh_train_and_synthesize(zh_workspace):
 
     from mixgantts_tpu.cli import synthesize as syn
     old_argv = sys.argv
-    sys.argv = ["synthesize.py", "--restore_step", "4", "--model", "naive",
-                "--mode", "single", "--text", "ni3 hao3",
-                "--dataset", "ZhCorpus"]
-    try:
-        syn.cli()
-    finally:
-        sys.argv = old_argv
+    # raw hanzi AND numbered pinyin both synthesize (the reference accepts
+    # hanzi via pypinyin, `synthesize.py:70-103`; VERDICT r1 #3)
+    for text in ("ni3 hao3", "你好"):
+        sys.argv = ["synthesize.py", "--restore_step", "4", "--model",
+                    "naive", "--mode", "single", "--text", text,
+                    "--dataset", "ZhCorpus"]
+        try:
+            syn.cli()
+        finally:
+            sys.argv = old_argv
     result_dir = os.path.join(
         zh_workspace, "output/result/ZhCorpus_naive", "4")
-    assert any(f.endswith(".wav") for f in os.listdir(result_dir))
+    wavs = [f for f in os.listdir(result_dir) if f.endswith(".wav")]
+    assert len(wavs) >= 2
