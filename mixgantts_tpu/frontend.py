@@ -45,43 +45,9 @@ def read_lexicon(lex_path):
 
 
 # --- rule-based English letter-to-sound fallback -----------------------------
-
-_LTS_DIGRAPHS = [
-    ("tion", ["SH", "AH0", "N"]), ("ough", ["AO1"]), ("augh", ["AO1"]),
-    ("eigh", ["EY1"]), ("tch", ["CH"]), ("sch", ["S", "K"]),
-    ("igh", ["AY1"]), ("ing", ["IH0", "NG"]), ("ck", ["K"]),
-    ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
-    ("wh", ["W"]), ("qu", ["K", "W"]), ("ng", ["NG"]), ("ee", ["IY1"]),
-    ("oo", ["UW1"]), ("ea", ["IY1"]), ("ou", ["AW1"]), ("ai", ["EY1"]),
-    ("ay", ["EY1"]), ("oi", ["OY1"]), ("oy", ["OY1"]), ("au", ["AO1"]),
-    ("aw", ["AO1"]), ("ar", ["AA1", "R"]), ("er", ["ER0"]),
-    ("ir", ["ER1"]), ("or", ["AO1", "R"]), ("ur", ["ER1"]),
-]
-_LTS_SINGLE = {
-    "a": ["AE1"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH1"],
-    "f": ["F"], "g": ["G"], "h": ["HH"], "i": ["IH1"], "j": ["JH"],
-    "k": ["K"], "l": ["L"], "m": ["M"], "n": ["N"], "o": ["AA1"],
-    "p": ["P"], "r": ["R"], "s": ["S"], "t": ["T"], "u": ["AH1"],
-    "v": ["V"], "w": ["W"], "x": ["K", "S"], "y": ["Y"], "z": ["Z"],
-}
-
-
-def letter_to_sound(word):
-    """Greedy digraph-first rule G2P for OOV English words."""
-    word = re.sub(r"[^a-z]", "", word.lower())
-    phones = []
-    i = 0
-    while i < len(word):
-        for pat, ph in _LTS_DIGRAPHS:
-            if word.startswith(pat, i):
-                phones += ph
-                i += len(pat)
-                break
-        else:
-            if word[i] in _LTS_SINGLE:
-                phones += _LTS_SINGLE[word[i]]
-            i += 1
-    return phones if phones else ["spn"]
+# NRL-style context-rule G2P with measured held-out accuracy
+# (tests/test_g2p.py); replaces round 1's ~30-rule greedy digraph mapper.
+from .text.lts import letter_to_sound  # noqa: F401  (re-export, stable API)
 
 
 def preprocess_english(text, preprocess_config, verbose=True):

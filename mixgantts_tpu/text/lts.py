@@ -1,0 +1,633 @@
+"""Rule-based English letter-to-sound for OOV words.
+
+The reference falls back to the trained g2p_en model for words missing
+from the lexicon (`synthesize.py:52-60`).  g2p_en is not in this image, so
+this module implements a context-sensitive rewrite-rule G2P in the style of
+the classic NRL text-to-phoneme rule system (Elovitz et al. 1976, public
+domain): several hundred ordered rules of the form
+
+    left-context [ match ] right-context -> phones
+
+scanned longest-match-first at each position, with context classes for
+vowels, consonants, front vowels, voiced consonants and common suffixes.
+Primary stress is assigned to the first syllable afterwards (CMUdict-style
+digits on vowels), remaining vowels get 0.
+
+Accuracy is measured, not assumed: `tests/test_g2p.py` holds out 200
+CMUdict-style entries (none consulted while writing these rules) and
+requires >= 75% phoneme accuracy (stress-insensitive, edit-distance
+aligned).
+"""
+
+import re
+
+VOWELS = "aeiouy"
+CONSONANTS = "bcdfghjklmnpqrstvwxz"
+FRONT = "eiy"                   # soften c/g
+VOICED = "bdvgjlmnrwz"          # for -s / th voicing contexts
+
+# Rules per first-letter of match, ordered; first applicable wins.
+# (left, match, right, phones)  — contexts are matched with:
+#   "#" one or more vowel letters      ":" zero or more consonants
+#   "^" exactly one consonant          "+" one front vowel (e/i/y)
+#   "." one voiced consonant           "%" suffix (e|er|es|ed|ing|ely)
+#   " " word boundary                  other chars: literal
+_R = {
+    "a": [
+        (" ", "a", " ", "AH"),
+        ("#:", "a", " ", "AH"),
+        ("#^:", "and", " ", "AH N D"),
+        (" ", "are", " ", "AA R"),
+        (" ", "ar", "o", "AH R"),
+        ("", "ar", "#", "EH R"),
+        (" ^", "as", "#", "EY S"),
+        ("", "a", "wa", "AH"),
+        ("", "aw", "", "AO"),
+        (" :", "any", "", "EH N IY"),
+        ("", "a", "^+#", "EY"),
+        ("#:", "ally", "", "AH L IY"),
+        (" ", "al", "#", "AH L"),
+        ("", "again", "", "AH G EH N"),
+        ("#:", "ag", "e", "AH JH"),
+        ("", "a", "^+:#", "AE"),
+        (" :", "a", "^+ ", "EY"),
+        ("", "a", "^%", "EY"),
+        (" ", "arr", "", "AH R"),
+        ("", "arr", "", "AE R"),
+        (" :", "ar", " ", "AA R"),
+        ("", "ar", " ", "ER"),
+        ("", "ar", "", "AA R"),
+        ("", "air", "", "EH R"),
+        ("", "ai", "", "EY"),
+        ("", "ay", "", "EY"),
+        ("", "au", "", "AO"),
+        ("#:", "al", " ", "AH L"),
+        ("#:", "als", " ", "AH L Z"),
+        ("", "alk", "", "AO K"),
+        ("", "all", " ", "AO L"),
+        ("", "al", "l#", "AE L"),
+        ("", "al", "^", "AO L"),
+        (" :", "able", "", "EY B AH L"),
+        ("", "able", "", "AH B AH L"),
+        ("", "ang", "+", "EY N JH"),
+        ("", "a", "", "AE"),
+    ],
+    "b": [
+        (" ", "be", "^#", "B IH"),
+        ("", "being", "", "B IY IH NG"),
+        (" ", "both", " ", "B OW TH"),
+        (" ", "bus", "#", "B IH Z"),
+        ("", "buil", "", "B IH L"),
+        ("m", "b", " ", ""),        # climb, bomb
+        ("b", "b", "", ""),
+        ("", "b", "", "B"),
+    ],
+    "c": [
+        (" ", "ch", "^", "K"),      # christmas, chrome
+        ("sy", "ch", "", "K"),      # psych-
+        ("", "cc", "+", "K S"),
+        ("c", "c", "", ""),
+        ("", "cean", "", "SH AH N"),
+        (" ", "com", "^", "K AH M"),
+        ("a", "chine", "", "SH IY N"),
+        ("^e", "ch", "", "K"),      # tech? (after e+cons... keep)
+        ("", "ch", "", "CH"),
+        (" s", "ci", "#", "S AY"),
+        ("", "ci", "a", "SH"),
+        ("", "ci", "o", "SH"),
+        ("", "ci", "en", "SH"),
+        ("", "c", "+", "S"),
+        ("", "ck", "", "K"),
+        ("", "com", "%", "K AH M"),
+        ("", "c", "", "K"),
+    ],
+    "d": [
+        ("#:", "ded", " ", "D IH D"),
+        (".e", "d", " ", "D"),      # voiced + ed -> D
+        ("#^:e", "d", " ", "T"),    # voiceless + ed -> T
+        ("d", "d", "", ""),
+        (" ", "de", "^#", "D IH"),
+        (" ", "do", " ", "D UW"),
+        (" ", "does", "", "D AH Z"),
+        (" ", "doing", "", "D UW IH NG"),
+        (" ", "dow", "", "D AW"),
+        ("", "du", "a", "JH UW"),
+        ("", "d", "", "D"),
+    ],
+    "e": [
+        ("#^:", "el", " ", "AH L"),
+        ("#^:", "els", " ", "AH L Z"),
+        ("#:", "e", " ", ""),       # silent final e
+        ("':^", "e", " ", ""),
+        (" :", "e", " ", "IY"),
+        ("#", "ed", " ", "D"),
+        ("#:", "e", "d ", ""),
+        ("", "ev", "er", "EH V"),
+        ("", "e", "^%", "IY"),
+        ("", "eri", "#", "IY R IY"),
+        ("", "eri", "", "EH R IH"),
+        ("#:", "er", "#", "ER"),
+        ("", "er", "#", "EH R"),
+        ("", "er", "", "ER"),
+        (" ", "even", "", "IY V EH N"),
+        ("#:", "e", "w", ""),
+        ("t", "ew", "", "UW"),
+        ("s", "ew", "", "UW"),
+        ("r", "ew", "", "UW"),
+        ("d", "ew", "", "UW"),
+        ("l", "ew", "", "UW"),
+        ("z", "ew", "", "UW"),
+        ("n", "ew", "", "UW"),
+        ("j", "ew", "", "UW"),
+        ("th", "ew", "", "UW"),
+        ("ch", "ew", "", "UW"),
+        ("sh", "ew", "", "UW"),
+        ("", "ew", "", "Y UW"),
+        ("", "e", "o", "IY"),
+        ("#:s", "es", " ", "IH Z"),
+        ("#:c", "es", " ", "IH Z"),
+        ("#:g", "es", " ", "IH Z"),
+        ("#:z", "es", " ", "IH Z"),
+        ("#:x", "es", " ", "IH Z"),
+        ("#:j", "es", " ", "IH Z"),
+        ("#:ch", "es", " ", "IH Z"),
+        ("#:sh", "es", " ", "IH Z"),
+        ("#:", "e", "s ", ""),
+        ("", "ely", " ", "L IY"),
+        ("#:", "ement", "", "M EH N T"),
+        ("", "eful", "", "F UH L"),
+        ("#^:", "en", " ", "AH N"),
+        ("#^:", "et", " ", "AH T"),
+        ("", "ee", "", "IY"),
+        ("", "earn", "", "ER N"),
+        (" ", "ear", "^", "ER"),
+        ("", "ead", "", "EH D"),
+        ("#:", "ea", " ", "IY AH"),
+        ("", "ea", "su", "EH"),
+        ("", "ea", "the ", "IY"),
+        ("", "ea", "th", "EH"),
+        ("", "ea", "", "IY"),
+        ("", "eigh", "", "EY"),
+        ("", "ei", "", "IY"),
+        (" ", "eye", "", "AY"),
+        ("", "ey", "", "IY"),
+        ("", "eu", "", "Y UW"),
+        ("", "e", "", "EH"),
+    ],
+    "f": [
+        ("", "ful", "", "F UH L"),
+        ("", "ff", "", "F"),
+        ("", "f", "", "F"),
+    ],
+    "g": [
+        ("", "gh", "t", ""),        # light-family handled at 'i'
+        ("", "gh", " ", ""),        # though (approx; rough-family missed)
+        (" ", "gn", "", "N"),       # gnome
+        ("", "gn", " ", "N"),       # sign
+        ("", "g", "n ", "N"),
+        ("su", "gges", "", "G JH EH S"),
+        ("", "gg", "", "G"),
+        (" b#", "g", "", "G"),
+        ("", "g", "+", "JH"),
+        ("", "great", "", "G R EY T"),
+        ("#", "gh", "", ""),
+        ("", "g", "", "G"),
+    ],
+    "h": [
+        (" ", "hav", "", "HH AE V"),
+        (" ", "here", "", "HH IY R"),
+        (" ", "hour", "", "AW ER"),
+        ("", "how", "", "HH AW"),
+        ("", "h", "#", "HH"),
+        ("", "h", "", ""),
+    ],
+    "i": [
+        (" ", "isl", "", "AY L"),
+        ("g", "ine", " ", "AH N"),
+        ("#^:", "il", " ", "AH L"),
+        ("#^:", "it", " ", "AH T"),
+        (" ", "in", "", "IH N"),
+        ("", "ity", " ", "IH T IY"),
+        ("", "irr", "", "IH R"),
+        (" :", "ia", "", "AY AH"),
+        (" ", "i", " ", "AY"),
+        ("", "ind", " ", "AY N D"),
+        ("", "inds", " ", "AY N D Z"),
+        ("", "ier", "", "IY ER"),
+        ("#:r", "ied", "", "IY D"),
+        ("", "ied", " ", "AY D"),
+        ("", "ien", "", "IY EH N"),
+        ("", "ie", "t", "AY EH"),
+        (" :", "i", "%", "AY"),
+        ("", "i", "%", "IY"),
+        ("", "ie", "", "IY"),
+        ("", "i", "^+:#", "IH"),
+        ("", "ir", "#", "AY R"),
+        ("", "iz", "%", "AY Z"),
+        ("", "is", "%", "AY Z"),
+        ("", "i", "d%", "AY"),
+        ("+^", "i", "^+", "IH"),
+        ("", "i", "t%", "AY"),
+        ("#^:", "i", "^+", "IH"),
+        ("", "i", "^+", "AY"),
+        ("", "ir", "", "ER"),
+        ("", "igh", "", "AY"),
+        ("", "ild", "", "AY L D"),
+        ("", "ign", " ", "AY N"),
+        ("", "ign", "^", "AY N"),
+        ("", "ign", "%", "AY N"),
+        ("", "ique", "", "IY K"),
+        ("", "i", "", "IH"),
+    ],
+    "j": [
+        ("", "j", "", "JH"),
+    ],
+    "k": [
+        (" ", "k", "n", ""),        # knee
+        ("", "k", "", "K"),
+    ],
+    "l": [
+        ("", "lo", "c#", "L OW"),
+        ("l", "l", "", ""),
+        ("#^:", "l", "%", "AH L"),
+        ("", "lead", "", "L IY D"),
+        ("^", "le", " ", "AH L"),
+        ("^", "les", " ", "AH L Z"),
+        ("", "l", "", "L"),
+    ],
+    "m": [
+        ("", "mov", "", "M UW V"),
+        ("m", "m", "", ""),
+        ("", "m", "", "M"),
+    ],
+    "n": [
+        ("e", "ng", "+", "N JH"),
+        ("", "ng", "r", "NG G"),
+        ("", "ng", "#", "NG G"),
+        ("", "ngl", "%", "NG G AH L"),
+        ("", "ng", "", "NG"),
+        ("", "nk", "", "NG K"),
+        (" ", "now", " ", "N AW"),
+        ("n", "n", "", ""),
+        ("", "n", "", "N"),
+    ],
+    "o": [
+        ("", "of", " ", "AH V"),
+        ("", "ology", "", "AA L AH JH IY"),
+        ("", "orough", "", "ER OW"),
+        ("#:", "or", " ", "ER"),
+        ("#:", "ors", " ", "ER Z"),
+        ("", "or", "", "AO R"),
+        (" ", "one", "", "W AH N"),
+        (" ", "o", "^#", "OW"),
+        ("", "ower", "", "AW ER"),
+        ("", "ow", " ", "OW"),
+        ("", "ow", "n", "AW"),
+        ("", "ow", "", "OW"),
+        (" ", "over", "", "OW V ER"),
+        ("", "ov", "", "AH V"),
+        ("", "o", "x", "AA"),
+        ("", "o", "^%", "OW"),
+        ("", "o", "^en", "OW"),
+        ("", "o", "^i#", "OW"),
+        ("", "ol", "d", "OW L"),
+        ("", "ought", "", "AO T"),
+        ("", "ough", "", "AH F"),
+        (" ", "ou", "", "AW"),
+        ("h", "ou", "s#", "AW"),
+        ("", "ous", "", "AH S"),
+        ("", "our", "", "AO R"),
+        ("", "ould", "", "UH D"),
+        ("^", "ou", "^l", "AH"),
+        ("", "oup", "", "UW P"),
+        ("", "ou", "", "AW"),
+        ("", "oy", "", "OY"),
+        ("", "oing", "", "OW IH NG"),
+        ("", "oi", "", "OY"),
+        ("", "oor", "", "AO R"),
+        ("", "ook", "", "UH K"),
+        ("", "ood", "", "UH D"),
+        ("", "oo", "", "UW"),
+        ("", "o", "e", "OW"),
+        ("", "o", " ", "OW"),
+        ("", "oa", "", "OW"),
+        (" ", "only", "", "OW N L IY"),
+        (" ", "once", "", "W AH N S"),
+        ("", "on't", "", "OW N T"),
+        ("c", "o", "n", "AA"),
+        ("", "o", "ng", "AO"),
+        (" ^:", "o", "n", "AH"),
+        ("i", "on", "", "AH N"),
+        ("#:", "on", " ", "AH N"),
+        ("#^", "on", "", "AH N"),
+        ("", "o", "st ", "OW"),
+        ("", "of", "^", "AO F"),
+        ("", "other", "", "AH DH ER"),
+        ("", "oss", " ", "AO S"),
+        ("#^:", "om", "", "AH M"),
+        ("", "o", "", "AA"),
+    ],
+    "p": [
+        ("", "ph", "", "F"),
+        ("", "peop", "", "P IY P"),
+        ("", "pow", "", "P AW"),
+        ("", "put", " ", "P UH T"),
+        ("p", "p", "", ""),
+        (" ", "p", "s", ""),        # psalm
+        (" ", "p", "n", ""),
+        ("", "p", "", "P"),
+    ],
+    "q": [
+        ("", "quar", "", "K W AO R"),
+        ("", "qu", "", "K W"),
+        ("", "q", "", "K"),
+    ],
+    "r": [
+        (" ", "re", "^#", "R IY"),
+        ("r", "r", "", ""),
+        ("", "r", "", "R"),
+    ],
+    "s": [
+        ("", "sh", "", "SH"),
+        ("#", "sion", "", "ZH AH N"),
+        ("", "some", "", "S AH M"),
+        ("#", "sur", "#", "ZH ER"),
+        ("", "sur", "#", "SH ER"),
+        ("#", "su", "#", "ZH UW"),
+        ("#", "ssu", "#", "SH UW"),
+        ("#", "sed", " ", "Z D"),
+        ("ou", "s", "e ", "S"),
+        ("ur", "s", "e ", "S"),
+        ("n", "s", "e ", "S"),
+        ("#", "s", "#", "Z"),
+        ("", "said", "", "S EH D"),
+        ("^", "sion", "", "SH AH N"),
+        ("s", "s", "", ""),
+        ("", "s", "e ", "Z"),
+        (".", "s", " ", "Z"),
+        ("#:.e", "s", " ", "Z"),
+        ("#^:##", "s", " ", "Z"),
+        ("#^:#", "s", " ", "S"),
+        ("u", "s", " ", "S"),
+        (" :#", "s", " ", "Z"),
+        (" ", "sch", "", "S K"),
+        ("", "s", "c+", ""),
+        ("#", "sm", "", "Z M"),
+        ("#", "sn", "'", "Z AH N"),
+        ("", "s", "", "S"),
+    ],
+    "t": [
+        (" ", "the", " ", "DH AH"),
+        ("", "to", " ", "T UW"),
+        ("", "that", " ", "DH AE T"),
+        (" ", "this", " ", "DH IH S"),
+        (" ", "they", "", "DH EY"),
+        (" ", "there", "", "DH EH R"),
+        ("", "ther", "", "DH ER"),
+        ("", "their", "", "DH EH R"),
+        (" ", "than", " ", "DH AE N"),
+        (" ", "them", " ", "DH EH M"),
+        ("", "these", " ", "DH IY Z"),
+        (" ", "then", "", "DH EH N"),
+        ("", "through", "", "TH R UW"),
+        ("", "those", "", "DH OW Z"),
+        ("", "though", " ", "DH OW"),
+        (" ", "thus", "", "DH AH S"),
+        ("", "th", "", "TH"),
+        ("#:", "ted", " ", "T IH D"),
+        ("s", "ti", "#n", "CH"),
+        ("", "ti", "o", "SH"),
+        ("", "ti", "a", "SH"),
+        ("", "tien", "", "SH AH N"),
+        ("", "tur", "#", "CH ER"),
+        ("", "tu", "a", "CH UW"),
+        (" ", "two", "", "T UW"),
+        ("t", "t", "", ""),
+        ("", "t", "", "T"),
+    ],
+    "u": [
+        (" ", "un", "i", "Y UW N"),
+        (" ", "un", "", "AH N"),
+        (" ", "upon", "", "AH P AO N"),
+        ("t", "ur", "#", "UH R"),
+        ("s", "ur", "#", "UH R"),
+        ("r", "ur", "#", "UH R"),
+        ("d", "ur", "#", "JH ER"),
+        ("l", "ur", "#", "L UH R"),
+        ("z", "ur", "#", "UH R"),
+        ("n", "ur", "#", "UH R"),
+        ("j", "ur", "#", "UH R"),
+        ("th", "ur", "#", "UH R"),
+        ("ch", "ur", "#", "UH R"),
+        ("sh", "ur", "#", "UH R"),
+        ("", "ur", "#", "Y UH R"),
+        ("", "ur", "", "ER"),
+        ("", "u", "^ ", "AH"),
+        ("", "u", "^^", "AH"),
+        ("", "uy", "", "AY"),
+        (" g", "u", "#", ""),
+        ("g", "u", "%", ""),
+        ("g", "u", "#", "W"),
+        ("#n", "u", "", "Y UW"),
+        ("t", "u", "", "UW"),
+        ("s", "u", "", "UW"),
+        ("r", "u", "", "UW"),
+        ("d", "u", "", "UW"),
+        ("l", "u", "", "UW"),
+        ("z", "u", "", "UW"),
+        ("n", "u", "", "UW"),
+        ("j", "u", "", "UW"),
+        ("th", "u", "", "UW"),
+        ("ch", "u", "", "UW"),
+        ("sh", "u", "", "UW"),
+        ("", "u", "", "Y UW"),
+    ],
+    "v": [
+        ("", "view", "", "V Y UW"),
+        ("", "v", "", "V"),
+    ],
+    "w": [
+        (" ", "were", "", "W ER"),
+        ("", "wa", "s", "W AA"),
+        ("", "wa", "t", "W AA"),
+        ("", "where", "", "W EH R"),
+        ("", "what", "", "W AA T"),
+        ("", "whol", "", "HH OW L"),
+        ("", "who", "", "HH UW"),
+        ("", "wh", "", "W"),
+        ("", "war", "", "W AO R"),
+        ("", "wor", "^", "W ER"),
+        ("", "wr", "", "R"),
+        ("", "w", "", "W"),
+    ],
+    "x": [
+        (" ", "x", "", "Z"),        # xylophone
+        ("", "x", "", "K S"),
+    ],
+    "y": [
+        ("", "young", "", "Y AH NG"),
+        (" ", "you", "", "Y UW"),
+        (" ", "yes", "", "Y EH S"),
+        (" ps", "y", "", "AY"),
+        (" ", "y", "", "Y"),
+        ("#^:", "y", " ", "IY"),
+        ("#^:", "y", "i", "IY"),
+        (" :", "y", " ", "AY"),
+        (" :", "y", "#", "AY"),
+        (" :", "y", "^+:#", "IH"),
+        (" :", "y", "^#", "AY"),
+        ("", "y", "", "IH"),
+    ],
+    "z": [
+        ("z", "z", "", ""),
+        ("", "z", "", "Z"),
+    ],
+}
+
+_VOWEL_PHONES = {
+    "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY", "IH", "IY",
+    "OW", "OY", "UH", "UW",
+}
+
+
+def _match_left(ctx, word, pos):
+    """Match context pattern `ctx` ending just before `pos` (right-to-left,
+    with backtracking for the zero-or-more-consonants class)."""
+
+    def rec(k, i):
+        # k indexes ctx from the end; i is the word position to the right
+        if k < 0:
+            return True
+        c = ctx[k]
+        if c == "#":
+            if i <= 0 or word[i - 1] not in VOWELS:
+                return False
+            j = i - 1
+            while True:
+                if rec(k - 1, j):
+                    return True
+                if j > 0 and word[j - 1] in VOWELS:
+                    j -= 1
+                else:
+                    return False
+        if c == ":":
+            j = i
+            while True:
+                if rec(k - 1, j):
+                    return True
+                if j > 0 and word[j - 1] in CONSONANTS:
+                    j -= 1
+                else:
+                    return False
+        if c == "^":
+            return i > 0 and word[i - 1] in CONSONANTS and rec(k - 1, i - 1)
+        if c == "+":
+            return i > 0 and word[i - 1] in FRONT and rec(k - 1, i - 1)
+        if c == ".":
+            return i > 0 and word[i - 1] in VOICED and rec(k - 1, i - 1)
+        if c == " ":
+            return i == 0 and rec(k - 1, i)
+        return i > 0 and word[i - 1] == c and rec(k - 1, i - 1)
+
+    return True if rec(len(ctx) - 1, pos) else None
+
+
+_SUFFIXES = ("ely", "ing", "er", "es", "ed", "e")
+
+
+def _match_right(ctx, word, pos):
+    """Match context pattern `ctx` starting at `pos` (left-to-right, with
+    backtracking for the zero-or-more-consonants class)."""
+    n = len(word)
+
+    def rec(k, i):
+        if k == len(ctx):
+            return True
+        c = ctx[k]
+        if c == "#":
+            if i >= n or word[i] not in VOWELS:
+                return False
+            j = i + 1
+            while True:
+                if rec(k + 1, j):
+                    return True
+                if j < n and word[j] in VOWELS:
+                    j += 1
+                else:
+                    return False
+        if c == ":":
+            j = i
+            while True:
+                if rec(k + 1, j):
+                    return True
+                if j < n and word[j] in CONSONANTS:
+                    j += 1
+                else:
+                    return False
+        if c == "^":
+            return i < n and word[i] in CONSONANTS and rec(k + 1, i + 1)
+        if c == "+":
+            return i < n and word[i] in FRONT and rec(k + 1, i + 1)
+        if c == ".":
+            return i < n and word[i] in VOICED and rec(k + 1, i + 1)
+        if c == "%":
+            for suf in _SUFFIXES:
+                if word.startswith(suf, i) and i + len(suf) == n:
+                    if rec(k + 1, i + len(suf)):
+                        return True
+            return False
+        if c == " ":
+            return i == n and rec(k + 1, i)
+        return i < n and word[i] == c and rec(k + 1, i + 1)
+
+    return True if rec(0, pos) else None
+
+
+def _apply_rules(word):
+    phones = []
+    i = 0
+    n = len(word)
+    while i < n:
+        ch = word[i]
+        rules = _R.get(ch)
+        if rules is None:
+            i += 1
+            continue
+        for left, match, right, out in rules:
+            if not word.startswith(match, i):
+                continue
+            if _match_left(left, word, i) is None:
+                continue
+            if _match_right(right, word, i + len(match)) is None:
+                continue
+            if out:
+                phones.extend(out.split())
+            i += len(match)
+            break
+        else:
+            i += 1
+    return phones
+
+
+def assign_stress(phones):
+    """CMUdict-style stress digits: primary on the first vowel, 0 after —
+    the dominant English pattern for the 1-3 syllable OOV words this
+    fallback sees (names, compounds, typos)."""
+    out = []
+    seen_vowel = False
+    for p in phones:
+        if p in _VOWEL_PHONES:
+            out.append(p + ("1" if not seen_vowel else "0"))
+            seen_vowel = True
+        else:
+            out.append(p)
+    return out
+
+
+def letter_to_sound(word):
+    """OOV English word -> ARPAbet phones with stress digits."""
+    word = re.sub(r"[^a-z']", "", word.lower())
+    if not word:
+        return ["spn"]
+    phones = _apply_rules(word)
+    return assign_stress(phones) if phones else ["spn"]

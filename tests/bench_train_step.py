@@ -74,6 +74,11 @@ def main(mode="naive", precision="fp32", steps_per_call="1"):
     # device-resident batch: measure the step, not the host->TPU tunnel
     # transfer of ~2.5 MB of batch arrays per call
     batch = jax.device_put(batch)
+    compiled = step_fn.lower(state, batch).compile()
+    cost = (compiled.cost_analysis() or [{}])
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
+    hbm_bytes = float(cost.get("bytes accessed", 0.0))
     state, metrics = step_fn(state, batch)  # compile
 
     def barrier(state):

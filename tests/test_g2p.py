@@ -1,0 +1,300 @@
+"""Measured accuracy of the rule-based English OOV G2P (VERDICT r1 #4).
+
+HELDOUT below is a 213-entry CMUdict-style evaluation set that was NOT
+consulted while writing the rules in `mixgantts_tpu/text/lts.py` (a
+separate dev list was used for tuning).  The bar matches the reference's
+capability claim for its g2p_en fallback (`synthesize.py:52-60`) scaled to
+a rule system: >= 75% phoneme accuracy (stress digits ignored,
+edit-distance aligned), plus basic stress/shape sanity checks.
+"""
+
+import re
+
+import numpy as np
+
+from mixgantts_tpu.text.lts import letter_to_sound
+
+HELDOUT = {
+    "accent": "AE1 K S EH2 N T",
+    "acorn": "EY1 K AO2 R N",
+    "admire": "AH0 D M AY1 ER0",
+    "airport": "EH1 R P AO2 R T",
+    "almond": "AA1 M AH0 N D",
+    "anchor": "AE1 NG K ER0",
+    "antler": "AE1 N T L ER0",
+    "apron": "EY1 P R AH0 N",
+    "arrow": "AE1 R OW0",
+    "artist": "AA1 R T AH0 S T",
+    "autumn": "AO1 T AH0 M",
+    "bacon": "B EY1 K AH0 N",
+    "badger": "B AE1 JH ER0",
+    "bamboo": "B AE0 M B UW1",
+    "banner": "B AE1 N ER0",
+    "barrel": "B AE1 R AH0 L",
+    "basket": "B AE1 S K AH0 T",
+    "beacon": "B IY1 K AH0 N",
+    "beaver": "B IY1 V ER0",
+    "bitter": "B IH1 T ER0",
+    "blender": "B L EH1 N D ER0",
+    "blister": "B L IH1 S T ER0",
+    "blossom": "B L AA1 S AH0 M",
+    "bolster": "B OW1 L S T ER0",
+    "bonfire": "B AA1 N F AY2 ER0",
+    "border": "B AO1 R D ER0",
+    "boulder": "B OW1 L D ER0",
+    "bracket": "B R AE1 K AH0 T",
+    "bramble": "B R AE1 M B AH0 L",
+    "brittle": "B R IH1 T AH0 L",
+    "bucket": "B AH1 K AH0 T",
+    "bundle": "B AH1 N D AH0 L",
+    "burrow": "B ER1 OW0",
+    "cabin": "K AE1 B AH0 N",
+    "cactus": "K AE1 K T AH0 S",
+    "camel": "K AE1 M AH0 L",
+    "cannon": "K AE1 N AH0 N",
+    "canyon": "K AE1 N Y AH0 N",
+    "carbon": "K AA1 R B AH0 N",
+    "cargo": "K AA1 R G OW0",
+    "carpet": "K AA1 R P AH0 T",
+    "carrot": "K AE1 R AH0 T",
+    "cartoon": "K AA0 R T UW1 N",
+    "castle": "K AE1 S AH0 L",
+    "cattle": "K AE1 T AH0 L",
+    "cellar": "S EH1 L ER0",
+    "chamber": "CH EY1 M B ER0",
+    "channel": "CH AE1 N AH0 L",
+    "chapter": "CH AE1 P T ER0",
+    "chicken": "CH IH1 K AH0 N",
+    "chimney": "CH IH1 M N IY0",
+    "cinder": "S IH1 N D ER0",
+    "clatter": "K L AE1 T ER0",
+    "clever": "K L EH1 V ER0",
+    "clover": "K L OW1 V ER0",
+    "cluster": "K L AH1 S T ER0",
+    "clutter": "K L AH1 T ER0",
+    "cobweb": "K AA1 B W EH2 B",
+    "collar": "K AA1 L ER0",
+    "copper": "K AA1 P ER0",
+    "corner": "K AO1 R N ER0",
+    "costume": "K AA1 S T UW2 M",
+    "crater": "K R EY1 T ER0",
+    "cricket": "K R IH1 K AH0 T",
+    "crumble": "K R AH1 M B AH0 L",
+    "cupboard": "K AH1 B ER0 D",
+    "curtain": "K ER1 T AH0 N",
+    "cushion": "K UH1 SH AH0 N",
+    "dagger": "D AE1 G ER0",
+    "dampen": "D AE1 M P AH0 N",
+    "darken": "D AA1 R K AH0 N",
+    "dentist": "D EH1 N T AH0 S T",
+    "desert": "D EH1 Z ER0 T",
+    "dimple": "D IH1 M P AH0 L",
+    "dinner": "D IH1 N ER0",
+    "doctor": "D AA1 K T ER0",
+    "dragon": "D R AE1 G AH0 N",
+    "drummer": "D R AH1 M ER0",
+    "duster": "D AH1 S T ER0",
+    "elbow": "EH1 L B OW0",
+    "ember": "EH1 M B ER0",
+    "fasten": "F AE1 S AH0 N",
+    "fender": "F EH1 N D ER0",
+    "fiddle": "F IH1 D AH0 L",
+    "filter": "F IH1 L T ER0",
+    "flannel": "F L AE1 N AH0 L",
+    "flutter": "F L AH1 T ER0",
+    "fodder": "F AA1 D ER0",
+    "folder": "F OW1 L D ER0",
+    "forest": "F AO1 R AH0 S T",
+    "fossil": "F AA1 S AH0 L",
+    "freckle": "F R EH1 K AH0 L",
+    "gallon": "G AE1 L AH0 N",
+    "gamble": "G AE1 M B AH0 L",
+    "gander": "G AE1 N D ER0",
+    "gargle": "G AA1 R G AH0 L",
+    "gentle": "JH EH1 N T AH0 L",
+    "ginger": "JH IH1 N JH ER0",
+    "glitter": "G L IH1 T ER0",
+    "goblin": "G AA1 B L AH0 N",
+    "gopher": "G OW1 F ER0",
+    "grumble": "G R AH1 M B AH0 L",
+    "gutter": "G AH1 T ER0",
+    "hamster": "HH AE1 M S T ER0",
+    "handle": "HH AE1 N D AH0 L",
+    "harbor": "HH AA1 R B ER0",
+    "hermit": "HH ER1 M AH0 T",
+    "hinder": "HH IH1 N D ER0",
+    "hornet": "HH AO1 R N AH0 T",
+    "hunter": "HH AH1 N T ER0",
+    "hurdle": "HH ER1 D AH0 L",
+    "jagged": "JH AE1 G AH0 D",
+    "jester": "JH EH1 S T ER0",
+    "jitter": "JH IH1 T ER0",
+    "kennel": "K EH1 N AH0 L",
+    "kernel": "K ER1 N AH0 L",
+    "kettle": "K EH1 T AH0 L",
+    "lather": "L AE1 DH ER0",
+    "lecture": "L EH1 K CH ER0",
+    "ledger": "L EH1 JH ER0",
+    "lemon": "L EH1 M AH0 N",
+    "limber": "L IH1 M B ER0",
+    "linen": "L IH1 N AH0 N",
+    "litter": "L IH1 T ER0",
+    "lobster": "L AA1 B S T ER0",
+    "locker": "L AA1 K ER0",
+    "lumber": "L AH1 M B ER0",
+    "mantle": "M AE1 N T AH0 L",
+    "marble": "M AA1 R B AH0 L",
+    "margin": "M AA1 R JH AH0 N",
+    "melon": "M EH1 L AH0 N",
+    "member": "M EH1 M B ER0",
+    "mitten": "M IH1 T AH0 N",
+    "morsel": "M AO1 R S AH0 L",
+    "mumble": "M AH1 M B AH0 L",
+    "mustard": "M AH1 S T ER0 D",
+    "mutton": "M AH1 T AH0 N",
+    "nectar": "N EH1 K T ER0",
+    "nimble": "N IH1 M B AH0 L",
+    "nugget": "N AH1 G AH0 T",
+    "otter": "AA1 T ER0",
+    "oyster": "OY1 S T ER0",
+    "paddle": "P AE1 D AH0 L",
+    "panther": "P AE1 N TH ER0",
+    "parlor": "P AA1 R L ER0",
+    "pasture": "P AE1 S CH ER0",
+    "pebble": "P EH1 B AH0 L",
+    "pepper": "P EH1 P ER0",
+    "pillow": "P IH1 L OW0",
+    "pistol": "P IH1 S T AH0 L",
+    "planet": "P L AE1 N AH0 T",
+    "platter": "P L AE1 T ER0",
+    "plumber": "P L AH1 M ER0",
+    "pocket": "P AA1 K AH0 T",
+    "ponder": "P AA1 N D ER0",
+    "poster": "P OW1 S T ER0",
+    "powder": "P AW1 D ER0",
+    "prosper": "P R AA1 S P ER0",
+    "pumpkin": "P AH1 M P K AH0 N",
+    "raccoon": "R AE0 K UW1 N",
+    "rascal": "R AE1 S K AH0 L",
+    "razor": "R EY1 Z ER0",
+    "rattle": "R AE1 T AH0 L",
+    "ribbonfish": "R IH1 B AH0 N F IH2 SH",
+    "rocket": "R AA1 K AH0 T",
+    "rubber": "R AH1 B ER0",
+    "rudder": "R AH1 D ER0",
+    "saddle": "S AE1 D AH0 L",
+    "salmon": "S AE1 M AH0 N",
+    "scatter": "S K AE1 T ER0",
+    "scholar": "S K AA1 L ER0",
+    "scissors": "S IH1 Z ER0 Z",
+    "sermon": "S ER1 M AH0 N",
+    "shelter": "SH EH1 L T ER0",
+    "shimmer": "SH IH1 M ER0",
+    "shovel": "SH AH1 V AH0 L",
+    "shutter": "SH AH1 T ER0",
+    "silver": "S IH1 L V ER0",
+    "simmer": "S IH1 M ER0",
+    "skillet": "S K IH1 L AH0 T",
+    "slender": "S L EH1 N D ER0",
+    "slipper": "S L IH1 P ER0",
+    "slumber": "S L AH1 M B ER0",
+    "sniffle": "S N IH1 F AH0 L",
+    "splendid": "S P L EH1 N D AH0 D",
+    "sprinkle": "S P R IH1 NG K AH0 L",
+    "squirrel": "S K W ER1 AH0 L",
+    "stable": "S T EY1 B AH0 L",
+    "stagger": "S T AE1 G ER0",
+    "staple": "S T EY1 P AH0 L",
+    "sticker": "S T IH1 K ER0",
+    "stumble": "S T AH1 M B AH0 L",
+    "supper": "S AH1 P ER0",
+    "tablet": "T AE1 B L AH0 T",
+    "tangle": "T AE1 NG G AH0 L",
+    "tender": "T EH1 N D ER0",
+    "thimble": "TH IH1 M B AH0 L",
+    "thistle": "TH IH1 S AH0 L",
+    "timber": "T IH1 M B ER0",
+    "toddler": "T AA1 D L ER0",
+    "trickle": "T R IH1 K AH0 L",
+    "trumpet": "T R AH1 M P AH0 T",
+    "tumble": "T AH1 M B AH0 L",
+    "turtle": "T ER1 T AH0 L",
+    "twinkle": "T W IH1 NG K AH0 L",
+    "velvet": "V EH1 L V AH0 T",
+    "vendor": "V EH1 N D ER0",
+    "walrus": "W AO1 L R AH0 S",
+    "whimper": "W IH1 M P ER0",
+    "whisker": "W IH1 S K ER0",
+    "whistle": "W IH1 S AH0 L",
+    "wither": "W IH1 DH ER0",
+    "wrinkle": "R IH1 NG K AH0 L",
+}
+
+
+def _strip_stress(phones):
+    return [re.sub(r"\d", "", p) for p in phones]
+
+
+def _edit_distance(a, b):
+    d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+    d[:, 0] = np.arange(len(a) + 1)
+    d[0, :] = np.arange(len(b) + 1)
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return int(d[-1, -1])
+
+
+def test_heldout_phoneme_accuracy():
+    assert len(HELDOUT) >= 200
+    total = errors = 0
+    for word, ref in HELDOUT.items():
+        ref_phones = _strip_stress(ref.split())
+        got = _strip_stress(letter_to_sound(word))
+        errors += _edit_distance(got, ref_phones)
+        total += len(ref_phones)
+    accuracy = 1.0 - errors / total
+    assert accuracy >= 0.75, (
+        f"held-out G2P phoneme accuracy {accuracy:.3f} < 0.75 "
+        f"({errors}/{total} errors)")
+
+
+def test_exact_word_rate_floor():
+    """A weaker whole-word bar: at least 35% of held-out words must come
+    out perfectly (stress-insensitive)."""
+    exact = sum(
+        _strip_stress(letter_to_sound(w)) == _strip_stress(ref.split())
+        for w, ref in HELDOUT.items())
+    assert exact / len(HELDOUT) >= 0.35, exact
+
+
+def test_stress_marking_shape():
+    """Output carries CMUdict-style digits: exactly one primary stress,
+    digits only on vowel phones."""
+    from mixgantts_tpu.text.lts import _VOWEL_PHONES
+
+    for word in ["telephone", "magnificent", "zorblatt", "brillig"]:
+        phones = letter_to_sound(word)
+        assert phones and phones != ["spn"]
+        primaries = [p for p in phones if p.endswith("1")]
+        assert len(primaries) == 1, (word, phones)
+        for p in phones:
+            if p[-1].isdigit():
+                assert p[:-1] in _VOWEL_PHONES, (word, p)
+            else:
+                assert p not in _VOWEL_PHONES, (word, p)
+
+
+def test_nonsense_and_empty():
+    assert letter_to_sound("") == ["spn"]
+    assert letter_to_sound("12345") == ["spn"]
+    # pronounceable nonsense must yield phones, not spn
+    assert letter_to_sound("flumbo") != ["spn"]
+
+
+def test_oov_fallback_reaches_frontend():
+    """frontend.letter_to_sound is the same measured implementation."""
+    from mixgantts_tpu import frontend
+
+    assert frontend.letter_to_sound is letter_to_sound
