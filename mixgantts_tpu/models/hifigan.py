@@ -172,7 +172,10 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
     stage, conv_post); conv accumulation stays fp32.  The audio path is
     bandwidth-bound, so bf16 activations are a ~2x bandwidth saving;
     waveform SNR vs the fp32 path is validated in test_vocoder.py."""
-    from ..ops.pallas_vocoder import mrf_stack, stack_mrf_params
+    from ..ops.pallas_vocoder import (
+        mrf_stack, mrf_stack_folded, stack_mrf_params,
+        stack_mrf_params_folded,
+    )
 
     if compute_dtype is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -221,7 +224,13 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         p = params[f"ups_{i}"]
         x = subpixel_upsample(x, p["kernel"], p["bias"], u, k)
-        if x.shape[-1] <= 128:
+        C = x.shape[-1]
+        if C <= 32 and 128 % C == 0:
+            # narrow stages waste (128 - C)/128 of every lane: fold
+            # 128//C time positions into the lane axis instead
+            st = stack_mrf_params_folded(params, i, 128 // C, rks, dils[0])
+            x = mrf_stack_folded(x, st, rks, dils[0], interpret=interpret)
+        elif C <= 128:
             stacked = stack_mrf_params(params, i, rks, dils[0])
             x = mrf_stack(x, stacked, rks, dils[0], interpret=interpret)
         else:

@@ -165,6 +165,216 @@ def _auto_tile(T, C):
     return min(budget, -(-T // 8) * 8)
 
 
+# --- Time-folded path (C < 128): fold F = 128//C time positions into the
+# lane axis so every buffer runs full-width ------------------------------
+#
+# At C = 32 the plain kernel wastes 4x everywhere: every [rows, 32] VMEM
+# buffer lane-pads to 128, every elementwise op runs at 1/4 lane
+# occupancy, and every matmul fills only 32 of the MXU's 128 output
+# lanes.  Folding maps x[F*i + f, c] -> X[i, f*C + c] (a pure reshape), so
+# the signal is [T/F, 128] and all elementwise work is full-width.  A
+# dilated conv becomes ONE matmul per conv: output lane group f at folded
+# row i needs x[F*i + f + m] for tap offset m; writing f + m = F*q + g,
+# that is folded row i+q, lane group g — so the input is a concat of
+# row-shifted copies over the needed q window and the tap weights scatter
+# into a block matrix W[(q,g)*C + cin, f*C + cout].  Intra-fold offsets
+# live entirely in the (host-built, VMEM-resident) weight layout; the
+# kernel does plain row shifts only, no lane rolls.  MXU cycles DROP ~30%
+# despite the block-sparse zeros because N goes 32->128 (4x) while the
+# widened K window costs only ~1.4-2x.
+
+
+def _fold_q_window(rk, d, F):
+    """Row-shift window Q for a folded (rk, d) conv: all q with some
+    (f, tap) needing folded row i+q."""
+    half, pad = TAPS // 2, (TAPS - rk) // 2
+    ms = [(tap - half) * d for tap in range(pad, TAPS - pad)]
+    return list(range(min(ms) // F, (max(ms) + F - 1) // F + 1)), ms
+
+
+def _fold_weight(w, b, rk, d, F, q_pad):
+    """[rk, C, C] conv kernel -> folded block matrix [q_pad*F*C, F*C] and
+    bias [F*C] (zero-padded past the real q window)."""
+    C = w.shape[-1]
+    Q, ms = _fold_q_window(rk, d, F)
+    wf = jnp.zeros((q_pad * F * C, F * C), w.dtype)
+    for f in range(F):
+        for tap_i, m in enumerate(ms):  # raw kernel tap tap_i <-> offset m
+            o = f + m
+            q, g = o // F, o % F
+            qi = Q.index(q)
+            row = (qi * F + g) * C
+            wf = wf.at[row:row + C, f * C:(f + 1) * C].set(w[tap_i])
+    return wf, jnp.tile(b, F)
+
+
+def _fold_chain_creep(kernel_sizes, dilations, F):
+    """Worst per-branch folded-row receptive creep (halo requirement)."""
+    def maxq(rk, d):
+        Q, _ = _fold_q_window(rk, d, F)
+        return max(-Q[0], Q[-1])
+    return max(sum(maxq(rk, d) + maxq(rk, 1) for d in dilations)
+               for rk in kernel_sizes)
+
+
+def stack_mrf_params_folded(params, stage, fold, kernel_sizes=(3, 7, 11),
+                            dilations=(1, 3, 5)):
+    """Folded analogue of `stack_mrf_params`.
+
+    The dilated conv1 weights are packed PER DILATION (`w1_0..w1_{P-1}`,
+    each [n_branch, q_pad(d)*F*C, F*C]) because the q-window grows with
+    d*F: one array padded to the global max wastes ~40% of the resident
+    VMEM weight budget (measured: enough to stall the C=64/F=2 stage).
+    conv2 (always d=1) stays one uniform array.  b1/b2: [3, 3, F*C].
+    Per-conv real q-window lengths are recomputed statically in the
+    kernel from (rk, d, F)."""
+    F = fold
+    q1 = {d: max(len(_fold_q_window(rk, d, F)[0]) for rk in kernel_sizes)
+          for d in dilations}
+    q2 = max(len(_fold_q_window(rk, 1, F)[0]) for rk in kernel_sizes)
+    w1 = {c: [] for c in range(len(dilations))}
+    b1, w2, b2 = [], [], []
+    for j, rk in enumerate(kernel_sizes):
+        block = params[f"resblocks_{stage}_{j}"]
+        b1j, w2j, b2j = [], [], []
+        for c, d in enumerate(dilations):
+            wf, bf = _fold_weight(
+                jnp.asarray(block[f"convs1_{c}"]["kernel"]),
+                jnp.asarray(block[f"convs1_{c}"]["bias"]), rk, d, F, q1[d])
+            w1[c].append(wf)
+            b1j.append(bf)
+            wf, bf = _fold_weight(
+                jnp.asarray(block[f"convs2_{c}"]["kernel"]),
+                jnp.asarray(block[f"convs2_{c}"]["bias"]), rk, 1, F, q2)
+            w2j.append(wf)
+            b2j.append(bf)
+        b1.append(jnp.stack(b1j))
+        w2.append(jnp.stack(w2j))
+        b2.append(jnp.stack(b2j))
+    out = {"b1": jnp.stack(b1), "w2": jnp.stack(w2),
+           "b2": jnp.stack(b2), "fold": F, "n_pair": len(dilations)}
+    for c in range(len(dilations)):
+        out[f"w1_{c}"] = jnp.stack(w1[c])
+    return out
+
+
+def _conv_folded(t, w, b, rk, d, F, Cf):
+    Q, _ = _fold_q_window(rk, d, F)
+    cat = jnp.concatenate([_shift(t, -q, Cf) for q in Q], axis=1)
+    return jnp.dot(cat, w[:len(Q) * Cf].astype(t.dtype),
+                   preferred_element_type=jnp.float32) + b
+
+
+def _kernel_folded(T, tile, kernel_sizes, dilations, F, halo_r, x_ref,
+                   *refs):
+    n_pair = len(dilations)
+    w1_refs = refs[:n_pair]
+    b1_ref, w2_ref, b2_ref, out_ref, y_s, acc_s = refs[n_pair:]
+    t_idx = pl.program_id(1)
+    Cf = x_ref.shape[-1]
+    C = Cf // F
+    rows = tile // F
+    rows_h = rows + 2 * halo_r
+
+    # frame position of (row, lane): tile_start + F*row + lane//C
+    pos = ((t_idx * rows - halo_r
+            + jax.lax.broadcasted_iota(jnp.int32, (rows_h, Cf), 0)) * F
+           + jax.lax.broadcasted_iota(jnp.int32, (rows_h, Cf), 1) // C)
+    mask = ((pos >= 0) & (pos < T)).astype(jnp.float32)
+    op_dtype = w2_ref.dtype
+
+    for br, rk in enumerate(kernel_sizes):
+        y_s[:] = x_ref[0, 0].astype(jnp.float32)
+        for p, d in enumerate(dilations):
+            t = (jax.nn.leaky_relu(y_s[:], LRELU_SLOPE)
+                 * mask).astype(op_dtype)
+            t = _conv_folded(t, w1_refs[p][br],
+                             b1_ref[br, p, 0].astype(jnp.float32),
+                             rk, d, F, Cf)
+            t = (jax.nn.leaky_relu(t, LRELU_SLOPE) * mask).astype(op_dtype)
+            t = _conv_folded(t, w2_ref[br, p],
+                             b2_ref[br, p, 0].astype(jnp.float32),
+                             rk, 1, F, Cf)
+            y_s[:] = y_s[:] + t
+        if br == 0:
+            acc_s[:] = y_s[:]
+        else:
+            acc_s[:] = acc_s[:] + y_s[:]
+    out_ref[0, 0] = (acc_s[halo_r:halo_r + rows]
+                     / len(kernel_sizes)).astype(out_ref.dtype)
+
+
+def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
+                     dilations=(1, 3, 5), tile=None, interpret=None):
+    """Time-folded MRF stack for C < 128: numerically identical (fp32
+    tolerance) to `mrf_stack` / the flax ResBlock1 stack."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    F = stacked["fold"]
+    B, T, C = x.shape
+    Cf = F * C
+    n_pair = stacked["n_pair"]
+    n_branch = stacked["w2"].shape[0]
+    w1s = [stacked[f"w1_{c}"] for c in range(n_pair)]
+    w2 = stacked["w2"]
+    if not interpret:
+        w1s = [w.astype(jnp.bfloat16) for w in w1s]
+        w2 = w2.astype(jnp.bfloat16)
+
+    halo_r = -(-_fold_chain_creep(kernel_sizes, dilations, F) // 8) * 8
+    if tile is None:
+        # 512 folded rows/tile: halo overhead <= 9% while the widest
+        # concat buffer ([rows_h, Qmax*Cf] bf16) plus the padded resident
+        # weights stay ~4 MB under the ~16 MB VMEM budget
+        tile = 512 * F
+    tile = -(-min(tile, max(F * 8, T)) // (F * 8)) * (F * 8)
+    rows, rows_h = tile // F, tile // F + 2 * halo_r
+    n_t = pl.cdiv(T, tile)
+    Tp = n_t * tile
+
+    b1 = stacked["b1"][:, :, None, :]  # [3, 3, 1, Cf]
+    b2 = stacked["b2"][:, :, None, :]
+
+    xf = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))).reshape(B, Tp // F, Cf)
+    xf = jnp.pad(xf, ((0, 0), (halo_r, halo_r), (0, 0)))
+    gather = (np.arange(n_t)[:, None] * rows
+              + np.arange(rows_h)[None, :])
+    x_tiles = xf[:, gather]  # [B, n_t, rows_h, Cf]
+    if not interpret and x_tiles.dtype == jnp.float32:
+        x_tiles = x_tiles.astype(jnp.bfloat16)
+
+    kernel = functools.partial(_kernel_folded, T, tile,
+                               tuple(kernel_sizes), tuple(dilations),
+                               F, halo_r)
+    const3 = lambda b, t: (0, 0, 0)
+    const4 = lambda b, t: (0, 0, 0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=(
+            [pl.BlockSpec((1, 1, rows_h, Cf), lambda b, t: (b, t, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            # per-dilation conv1 weights, then b1/w2/b2 — all with
+            # constant index maps so they are DMA'd once and stay resident
+            + [pl.BlockSpec(w.shape, const3, memory_space=pltpu.VMEM)
+               for w in w1s]
+            + [pl.BlockSpec(b1.shape, const4, memory_space=pltpu.VMEM),
+               pl.BlockSpec(w2.shape, const4, memory_space=pltpu.VMEM),
+               pl.BlockSpec(b2.shape, const4, memory_space=pltpu.VMEM)]
+        ),
+        out_specs=pl.BlockSpec((1, 1, rows, Cf), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_t, rows, Cf), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_h, Cf), jnp.float32),
+            pltpu.VMEM((rows_h, Cf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_tiles, *w1s, b1, w2, b2)
+
+    return out.reshape(B, Tp, C)[:, :T]
+
+
 def mrf_stack(x, stacked, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5),
               tile=None, interpret=None, circular=None):
     """x [B, T, C] with C <= 128, stacked from `stack_mrf_params`.

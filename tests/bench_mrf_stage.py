@@ -1,0 +1,78 @@
+"""Manual TPU micro-benchmark: one HiFi-GAN MRF stage, plain vs folded.
+
+Run: python tests/bench_mrf_stage.py [C] [T]
+Defaults sweep the real LJSpeech V1 stage shapes (C=32 @ T=221184,
+C=64 @ T=110592, C=128 @ T=55296).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, x, *args, iters=30):
+    y = fn(x, *args)
+    np.asarray(y[0, :8, 0])  # data-fetch barrier (see CLAUDE.md)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn(x, *args)
+        np.asarray(y[0, :8, 0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main(stages=((32, 221184), (64, 110592), (128, 55296))):
+    from flax import linen as nn  # noqa: F401  (init only)
+    from mixgantts_tpu.models.hifigan import ResBlock1
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, mrf_stack_folded, stack_mrf_params,
+        stack_mrf_params_folded,
+    )
+    from flax import linen
+
+    class Stage(linen.Module):
+        C: int
+
+        @linen.compact
+        def __call__(self, x):
+            acc = None
+            for j, rk in enumerate((3, 7, 11)):
+                y = ResBlock1(self.C, rk, (1, 3, 5),
+                              name=f"resblocks_0_{j}")(x)
+                acc = y if acc is None else acc + y
+            return acc / 3
+
+    print(f"backend={jax.default_backend()}")
+    for C, T in stages:
+        x = jnp.asarray(np.random.RandomState(0).randn(1, T, C),
+                        jnp.float32)
+        params = Stage(C).init(jax.random.PRNGKey(0),
+                               x[:, :256])["params"]
+
+        st = stack_mrf_params(params, 0)
+        plain = jax.jit(lambda a, s=st: mrf_stack(a, s))
+        t_plain = bench(plain, x)
+        line = f"C={C:4d} T={T:7d}  plain {t_plain * 1e3:7.3f} ms"
+
+        if 128 % C == 0 and C < 128:
+            stf = stack_mrf_params_folded(params, 0, 128 // C)
+            folded = jax.jit(lambda a, s=stf: mrf_stack_folded(a, s))
+            t_fold = bench(folded, x)
+            line += (f"   folded(F={128 // C}) {t_fold * 1e3:7.3f} ms "
+                     f"({t_plain / t_fold:.2f}x)")
+        print(line)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 3:
+        main([(int(sys.argv[1]), int(sys.argv[2]))])
+    else:
+        main()

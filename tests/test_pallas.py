@@ -210,3 +210,40 @@ def test_mrf_stack_circular_shifts_exact_in_centre():
     got = mrf_stack(x, st, tile=56, interpret=True, circular=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_stack_folded_matches_flax():
+    """Time-folded path (C < 128): fold F time positions into lanes; must
+    equal the flax stack bit-for-fp32-tolerance, including at tile seams
+    and a T not divisible by the fold."""
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack_folded, stack_mrf_params_folded,
+    )
+
+    C, T, B = 16, 103, 2
+    x = jnp.asarray(np.random.RandomState(4).randn(B, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(4), x)["params"]
+    want = stage.apply({"params": params}, x)
+    for fold in (2, 4, 8):
+        st = stack_mrf_params_folded(params, 0, fold)
+        got = mrf_stack_folded(x, st, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"fold={fold}")
+
+
+def test_mrf_stack_folded_tile_seams():
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack_folded, stack_mrf_params_folded,
+    )
+
+    C, T = 16, 300
+    x = jnp.asarray(np.random.RandomState(5).randn(1, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(5), x)["params"]
+    want = stage.apply({"params": params}, x)
+    st = stack_mrf_params_folded(params, 0, 4)
+    got = mrf_stack_folded(x, st, tile=96, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
