@@ -130,8 +130,30 @@ def test_train_multispeaker_naive(ms_workspace):
                  path_tag="", seed=0, data_parallel=False)
     configs = load_configs(args)
     main(args, configs)
-    assert os.path.isdir(os.path.join(
-        configs[2]["path"]["ckpt_path"], "4"))
+    ckpt_dir = configs[2]["path"]["ckpt_path"]
+    assert os.path.isdir(os.path.join(ckpt_dir, "4"))
+
+    # proof the EXTERNAL-embedding path trained (not the id table): the
+    # checkpoint must hold the 512->hidden speaker projection and no
+    # embedding table (reference: `model/mixgantts.py:44-53`)
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(os.path.join(ckpt_dir, "4")))
+    g = restored["g_params"]
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): v
+            for path, v in jax.tree_util.tree_flatten_with_path(g)[0]}
+    # exact module name: the denoiser's per-block speaker_projection also
+    # exists (hidden->C); the EXTERNAL path is the top-level 512->hidden
+    # 'speaker_proj' Dense
+    kernels = [v for k, v in flat.items()
+               if k.endswith("speaker_proj/kernel")]
+    assert kernels, f"external speaker projection missing: {list(flat)[:8]}"
+    assert kernels[0].shape[0] == 512
+    assert not any(k.split("/")[-2] == "speaker_emb" for k in flat), \
+        "table path params present in an external-embedder run"
 
 
 def test_synthesize_with_speaker_id(ms_workspace, monkeypatch):
