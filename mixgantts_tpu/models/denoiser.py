@@ -47,9 +47,13 @@ class Denoiser(nn.Module):
     # route the residual stack through the fused Pallas kernel
     # (`ops/pallas.py`); single-speaker inference only — the speaker
     # projection and autodiff take the flax path.  None = auto: kernel on
-    # real TPU for batched inference (B >= 2, where keeping the tile in
-    # VMEM beats XLA's loop by ~20%); B=1 stays on the XLA loop whose
-    # prologue-free graph measures faster (see mixgantts._default_fused)
+    # real TPU for batched inference only.  Measured at the LJSpeech
+    # flagship scale (C=256, L=20, one v5e chip, acoustic pass): at B=1
+    # XLA's own fusion of the block loop wins (~0.30-0.36 ms vs ~0.44 ms —
+    # XLA already feeds the MXU bf16 operands and the kernel's tile-gather
+    # prologue dominates), while at B=8 the kernel wins ~20% (0.33 vs
+    # 0.41 ms at T=864) because the per-layer activation round-trips it
+    # eliminates scale with batch.
     fused: "bool | None" = None
 
     @nn.compact

@@ -56,19 +56,6 @@ def _maybe_stop(x, cond):
     return jax.lax.stop_gradient(x)
 
 
-def _default_fused(configured):
-    """`denoiser.fused` yaml override; None = auto by batch size.
-
-    Measured at the LJSpeech flagship scale (C=256, L=20, one v5e chip,
-    acoustic pass): at B=1 XLA's own fusion of the block loop wins
-    (~0.30-0.36 ms vs ~0.44 ms — XLA already runs bf16-operand MXU
-    matmuls and the kernel's tile-gather prologue dominates), while at
-    B=8 the kernel wins ~20% (0.33 vs 0.41 ms at T=864) because the
-    per-layer activation round-trips it eliminates scale with batch.
-    Auto mode picks the kernel for batched TPU inference only."""
-    return configured
-
-
 class MixGANTTS(nn.Module):
     mode: str                       # 'naive' | 'aux' | 'shallow'
     schedule: DiffusionSchedule
@@ -146,7 +133,7 @@ class MixGANTTS(nn.Module):
             embedder_type=preprocess_config["preprocessing"].get(
                 "speaker_embedder", "none"),
             external_speaker_dim=model_config.get("external_speaker_dim", 512),
-            fused_denoiser=_default_fused(d.get("fused")),
+            fused_denoiser=d.get("fused"),  # None = Denoiser's auto rule
         )
 
     @nn.compact

@@ -153,5 +153,12 @@ class TTSPipeline:
             wav = wav[..., 0]
         wav = (np.clip(wav, -1.0, 1.0) * self.max_wav_value).astype(np.int16)
         mel_lens = np.asarray(mel_lens)
+        if (mel_lens >= T).any():
+            import warnings
+            warnings.warn(
+                f"synthesis frame budget saturated: predicted mel length hit "
+                f"the static cap T={T} (max_seq_len={self.max_seq_len}); the "
+                f"tail of the utterance was truncated — raise max_seq_len or "
+                f"split the text", stacklevel=2)
         wavs = [wav[i, :int(mel_lens[i]) * self.hop_length] for i in range(B)]
         return wavs, np.asarray(mel), mel_lens
