@@ -219,43 +219,40 @@ def _fold_chain_creep(kernel_sizes, dilations, F):
 
 def stack_mrf_params_folded(params, stage, fold, kernel_sizes=(3, 7, 11),
                             dilations=(1, 3, 5)):
-    """Folded analogue of `stack_mrf_params`.
+    """Folded analogue of `stack_mrf_params`: w1/w2 [3, 3, Qmax*F*C, F*C],
+    b1/b2 [3, 3, F*C]; per-conv real q-window lengths are recomputed
+    statically in the kernel from (rk, d, F).
 
-    The dilated conv1 weights are packed PER DILATION (`w1_0..w1_{P-1}`,
-    each [n_branch, q_pad(d)*F*C, F*C]) because the q-window grows with
-    d*F: one array padded to the global max wastes ~40% of the resident
-    VMEM weight budget (measured: enough to stall the C=64/F=2 stage).
-    conv2 (always d=1) stays one uniform array.  b1/b2: [3, 3, F*C].
-    Per-conv real q-window lengths are recomputed statically in the
-    kernel from (rk, d, F)."""
+    Packing note: a per-dilation w1 split (three arrays each padded only
+    to that dilation's q-window, ~40% less resident weight VMEM) was
+    measured par-to-slower at C=32/F=4 (2.2-2.5 ms uniform vs 2.5-3.0 ms
+    split across reruns) and did not rescue C=64/F=2 either (0.86x vs the
+    taps-in-K kernel) — the uniform layout stays."""
     F = fold
-    q1 = {d: max(len(_fold_q_window(rk, d, F)[0]) for rk in kernel_sizes)
-          for d in dilations}
+    q1 = max(len(_fold_q_window(rk, d, F)[0])
+             for rk in kernel_sizes for d in dilations)
     q2 = max(len(_fold_q_window(rk, 1, F)[0]) for rk in kernel_sizes)
-    w1 = {c: [] for c in range(len(dilations))}
-    b1, w2, b2 = [], [], []
+    w1, b1, w2, b2 = [], [], [], []
     for j, rk in enumerate(kernel_sizes):
         block = params[f"resblocks_{stage}_{j}"]
-        b1j, w2j, b2j = [], [], []
+        w1j, b1j, w2j, b2j = [], [], [], []
         for c, d in enumerate(dilations):
             wf, bf = _fold_weight(
                 jnp.asarray(block[f"convs1_{c}"]["kernel"]),
-                jnp.asarray(block[f"convs1_{c}"]["bias"]), rk, d, F, q1[d])
-            w1[c].append(wf)
+                jnp.asarray(block[f"convs1_{c}"]["bias"]), rk, d, F, q1)
+            w1j.append(wf)
             b1j.append(bf)
             wf, bf = _fold_weight(
                 jnp.asarray(block[f"convs2_{c}"]["kernel"]),
                 jnp.asarray(block[f"convs2_{c}"]["bias"]), rk, 1, F, q2)
             w2j.append(wf)
             b2j.append(bf)
+        w1.append(jnp.stack(w1j))
         b1.append(jnp.stack(b1j))
         w2.append(jnp.stack(w2j))
         b2.append(jnp.stack(b2j))
-    out = {"b1": jnp.stack(b1), "w2": jnp.stack(w2),
-           "b2": jnp.stack(b2), "fold": F, "n_pair": len(dilations)}
-    for c in range(len(dilations)):
-        out[f"w1_{c}"] = jnp.stack(w1[c])
-    return out
+    return {"w1": jnp.stack(w1), "b1": jnp.stack(b1),
+            "w2": jnp.stack(w2), "b2": jnp.stack(b2), "fold": F}
 
 
 def _conv_folded(t, w, b, rk, d, F, Cf):
@@ -266,10 +263,7 @@ def _conv_folded(t, w, b, rk, d, F, Cf):
 
 
 def _kernel_folded(T, tile, kernel_sizes, dilations, F, halo_r, x_ref,
-                   *refs):
-    n_pair = len(dilations)
-    w1_refs = refs[:n_pair]
-    b1_ref, w2_ref, b2_ref, out_ref, y_s, acc_s = refs[n_pair:]
+                   w1_ref, b1_ref, w2_ref, b2_ref, out_ref, y_s, acc_s):
     t_idx = pl.program_id(1)
     Cf = x_ref.shape[-1]
     C = Cf // F
@@ -288,7 +282,7 @@ def _kernel_folded(T, tile, kernel_sizes, dilations, F, halo_r, x_ref,
         for p, d in enumerate(dilations):
             t = (jax.nn.leaky_relu(y_s[:], LRELU_SLOPE)
                  * mask).astype(op_dtype)
-            t = _conv_folded(t, w1_refs[p][br],
+            t = _conv_folded(t, w1_ref[br, p],
                              b1_ref[br, p, 0].astype(jnp.float32),
                              rk, d, F, Cf)
             t = (jax.nn.leaky_relu(t, LRELU_SLOPE) * mask).astype(op_dtype)
@@ -313,12 +307,10 @@ def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
     F = stacked["fold"]
     B, T, C = x.shape
     Cf = F * C
-    n_pair = stacked["n_pair"]
-    n_branch = stacked["w2"].shape[0]
-    w1s = [stacked[f"w1_{c}"] for c in range(n_pair)]
-    w2 = stacked["w2"]
+    n_branch, n_pair = stacked["w1"].shape[:2]
+    w1, w2 = stacked["w1"], stacked["w2"]
     if not interpret:
-        w1s = [w.astype(jnp.bfloat16) for w in w1s]
+        w1 = w1.astype(jnp.bfloat16)
         w2 = w2.astype(jnp.bfloat16)
 
     halo_r = -(-_fold_chain_creep(kernel_sizes, dilations, F) // 8) * 8
@@ -346,22 +338,19 @@ def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
     kernel = functools.partial(_kernel_folded, T, tile,
                                tuple(kernel_sizes), tuple(dilations),
                                F, halo_r)
-    const3 = lambda b, t: (0, 0, 0)
     const4 = lambda b, t: (0, 0, 0, 0)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_t),
-        in_specs=(
-            [pl.BlockSpec((1, 1, rows_h, Cf), lambda b, t: (b, t, 0, 0),
-                          memory_space=pltpu.VMEM)]
-            # per-dilation conv1 weights, then b1/w2/b2 — all with
-            # constant index maps so they are DMA'd once and stay resident
-            + [pl.BlockSpec(w.shape, const3, memory_space=pltpu.VMEM)
-               for w in w1s]
-            + [pl.BlockSpec(b1.shape, const4, memory_space=pltpu.VMEM),
-               pl.BlockSpec(w2.shape, const4, memory_space=pltpu.VMEM),
-               pl.BlockSpec(b2.shape, const4, memory_space=pltpu.VMEM)]
-        ),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows_h, Cf), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index maps: weights are DMA'd once, stay resident
+            pl.BlockSpec(w1.shape, const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const4, memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, 1, rows, Cf), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_t, rows, Cf), x.dtype),
@@ -370,7 +359,7 @@ def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
             pltpu.VMEM((rows_h, Cf), jnp.float32),
         ],
         interpret=interpret,
-    )(x_tiles, *w1s, b1, w2, b2)
+    )(x_tiles, w1, b1, w2, b2)
 
     return out.reshape(B, Tp, C)[:, :T]
 
