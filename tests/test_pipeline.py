@@ -183,3 +183,30 @@ def test_pipeline_mesh_sharded():
     wav_m, mel_m, len_m = sharded(batch, rng=rng)
     np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_m))
     np.testing.assert_allclose(mel_m, mel_s, atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_warns_when_frame_budget_saturates():
+    """A duration blow-up that pins the predicted mel length to the static
+    frame cap must warn about truncation instead of silently clipping the
+    utterance tail (the mel_len cap in linguistic_encoder.py)."""
+    import warnings
+
+    model = tiny_model("naive")
+    batch = text_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    pipe = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                       MODEL_CONFIG)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        wavs, mels, mel_lens = pipe(batch, d_control=1000.0)
+    assert (np.asarray(mel_lens) >= mels.shape[1]).any(), \
+        "d_control=1000 was expected to saturate the frame budget"
+    msgs = [str(w.message) for w in caught]
+    assert any("frame budget saturated" in m for m in msgs), msgs
