@@ -59,3 +59,41 @@ def test_english_cleaners():
     assert english_cleaners("Dr. Smith bought 2 CDs.") == \
         "doctor smith bought two cds."
     assert english_cleaners("Café  au\tlait") == "cafe au lait"
+
+
+def test_cmudict_parser_matches_reference_semantics():
+    """`text/cmudict.py` parity (reference `text/cmudict.py:95-140`,
+    dead at runtime there but part of the public surface): two-space
+    separator, (n) alternates merged, invalid-symbol entries dropped,
+    non-A-Z/apostrophe lines ignored, keep_ambiguous filter, and the
+    84-symbol inventory identical to the generated @ARPAbet table."""
+    import io
+
+    from mixgantts_tpu.text.cmudict import CMUDict, valid_symbols
+    from mixgantts_tpu.text.symbols import symbols
+
+    arpabet = [s[1:] for s in symbols if s.startswith("@")
+               and not s[1:].islower() and s[1:] not in ("sp", "spn", "sil")]
+    assert valid_symbols == arpabet[:len(valid_symbols)]
+    assert len(valid_symbols) == 84
+
+    sample = io.StringIO(
+        ";;; comment line\n"
+        "HELLO  HH AH0 L OW1\n"
+        "HELLO(1)  HH EH0 L OW1\n"
+        "'BOUT  B AW1 T\n"
+        "BOGUS  QQ ZZ\n"          # invalid symbols -> dropped
+        "lowercase  L OW1\n"      # doesn't start with A-Z/apostrophe
+        "WORLD  W ER1 L D\n"
+    )
+    d = CMUDict(sample)
+    assert len(d) == 3
+    assert d.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+    assert d.lookup("'bout") == ["B AW1 T"]
+    assert d.lookup("bogus") is None
+    assert d.lookup("world") == ["W ER1 L D"]
+
+    sample.seek(0)
+    unambiguous = CMUDict(sample, keep_ambiguous=False)
+    assert unambiguous.lookup("hello") is None
+    assert unambiguous.lookup("world") == ["W ER1 L D"]
