@@ -36,14 +36,14 @@ def timeit(fn, *args, iters=20):
     return best
 
 
-def main():
+def main(B="1"):
     from __graft_entry__ import _flagship_model, _example_text_batch
     from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.vocoder import get_vocoder
 
     enable_compilation_cache()
     model, (pre_cfg, model_cfg, train_cfg) = _flagship_model("shallow")
-    B, P, W = 1, 64, 24
+    B, P, W = int(B), 64, 24
     max_mel_len = 864
     batch = _example_text_batch(B=B, P=P, W=W, rng=0)
     rngs = {"params": jax.random.PRNGKey(0),
@@ -123,4 +123,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(*sys.argv[1:2])
