@@ -162,40 +162,9 @@ def main(args, configs):
 
     step = args.restore_step + 1  # next step to run
     epoch = int(state.epoch)
-    # batches buffered per bucket-shape key until k of the same shape are
-    # available for one stacked scan dispatch; partial buffers (epoch
-    # boundaries, end of training) flush as single steps.  The key is the
-    # FULL tuple of device-batch leaf shapes (not just mel/text lengths):
-    # word_boundaries pads to its own phone bucket, so two batches can share
-    # (mel_len, text_len) but differ on the word axis — np.stack would raise.
-    # NOTE: with k > 1 this buffering consumes batches grouped by shape
-    # rather than in strict arrival order, so the data order a given step
-    # sees can depart from the reference/k=1 trajectory whenever the corpus
-    # spans multiple shape buckets (each batch is still trained exactly
-    # once; only the interleaving differs).
-    buffers = {}
+    strict = bool(tpu_cfg.get("strict_batch_order", False))
     periods = [cfg_step["log_step"], cfg_step["synth_step"],
                cfg_step["val_step"], cfg_step["save_step"]]
-
-    def steps_until_boundary(s):
-        """Steps from s (inclusive) to the nearest periodic-action step.
-        Chunks never cross a boundary, so checkpoints/val/synth always see
-        the state at exactly the reference step."""
-        return min(p - ((s - 1) % p) for p in periods)
-
-    def dispatch(batch_list):
-        """Run len(batch_list) train steps — one scan dispatch per full
-        chunk — then any periodic log/synth/val/save action whose step
-        falls inside the range.  Returns True at total_step."""
-        while batch_list:
-            cap = max(1, min(total_step - step + 1, k,
-                             steps_until_boundary(step)))
-            if _run_segment(batch_list[:cap]):
-                return True
-            batch_list = batch_list[cap:]
-            if step > total_step:
-                return True
-        return False
 
     def _run_segment(batch_list):
         nonlocal state, step
@@ -268,29 +237,91 @@ def main(args, configs):
         step = first + m
         return False
 
-    while True:
-        batch = next(batch_gen)
-        if batch is None:  # epoch boundary: flush, then ExponentialLR decay
-            for key in list(buffers):
-                if dispatch(buffers.pop(key)):
-                    return
+    for event, payload in schedule_segments(
+            batch_gen, k, step, total_step, periods, strict=strict):
+        if event == "epoch":  # boundary: per-epoch ExponentialLR decay
             epoch += 1
             if mode != "aux":
                 state = state.replace(
                     epoch=state.epoch + 1,
                     lr_g=state.lr_g * gamma,
                     lr_d=state.lr_d * gamma)
+        elif _run_segment(payload):
+            return
+
+
+def shape_key(batch):
+    """The FULL tuple of device-batch leaf shapes (not just mel/text
+    lengths): word_boundaries pads to its own phone bucket, so two batches
+    can share (mel_len, text_len) but differ on the word axis — np.stack
+    would raise on a mixed chunk."""
+    return tuple(sorted(
+        (name, np.shape(v)) for name, v in model_batch_of(batch).items()))
+
+
+def schedule_segments(batch_stream, k, first_step, total_step, periods,
+                      strict=False, key_fn=shape_key):
+    """Chunk-dispatch scheduler: turns a stream of batches (None = epoch
+    boundary) into ('run', [batches]) segments of <= k same-shape batches
+    plus ('epoch', None) markers, stopping after total_step batches.
+
+    Segments never cross a periodic-action boundary (log/synth/val/save
+    see the state at exactly the reference step) or total_step.  Batches
+    buffer per shape key until k of one shape are available; partial
+    buffers flush at epoch boundaries and end of stream.
+
+    With k > 1 the default mode consumes batches grouped by shape rather
+    than in strict arrival order, so the data order a given step sees can
+    depart from the reference/k=1 trajectory whenever the corpus spans
+    multiple shape buckets (each batch still trains exactly once; only
+    the interleaving differs).  `strict=True` keeps ONE buffer and
+    flushes it (partially) whenever the incoming shape changes: exact
+    reference order at every step, at the cost of shorter scans on
+    shape-alternating corpora (sorted-group batching clusters same-shape
+    batches, so most of the chunking win survives)."""
+    step = first_step
+    buffers = {}
+    buf_key = None
+
+    def until_boundary(s):
+        return min(p - ((s - 1) % p) for p in periods)
+
+    def emit(batch_list):
+        nonlocal step
+        while batch_list and step <= total_step:
+            cap = max(1, min(total_step - step + 1, k,
+                             until_boundary(step)))
+            seg, batch_list = batch_list[:cap], batch_list[cap:]
+            step += len(seg)
+            yield ("run", seg)
+
+    for batch in batch_stream:
+        if step > total_step:
+            return
+        if batch is None:  # epoch boundary: flush all pending buffers
+            for key in list(buffers):
+                yield from emit(buffers.pop(key))
+                if step > total_step:
+                    return
+            yield ("epoch", None)
             continue
 
-        key = tuple(sorted(
-            (name, np.shape(v)) for name, v in model_batch_of(batch).items()))
-        buf = buffers.setdefault(key, [])
+        key = key_fn(batch)
+        if strict:
+            buf = buffers.setdefault("__order__", [])
+            if buf and buf_key != key:
+                # shape changed: flush the pending run in arrival order
+                yield from emit(buffers.pop("__order__"))
+                buf = buffers.setdefault("__order__", [])
+            buf_key = key
+            key = "__order__"
+        else:
+            buf = buffers.setdefault(key, [])
         buf.append(batch)
         # cap the chunk at total_step and at periodic-action boundaries
         if len(buf) >= max(1, min(k, total_step - step + 1,
-                                  steps_until_boundary(step))):
-            if dispatch(buffers.pop(key)):
-                return
+                                  until_boundary(step))):
+            yield from emit(buffers.pop(key))
 
 
 def build_argparser():

@@ -118,7 +118,9 @@ class TTSPipeline:
             wav_i16 = jnp.clip(
                 wav.astype(jnp.float32) * max_wav,
                 -max_wav, max_wav - 1).astype(jnp.int16)
-            return wav_i16, mel.astype(jnp.float32), out.mel_lens
+            # mel ships bf16 (plots/logging don't need fp32 precision;
+            # halves the second-largest transfer), upcast host-side
+            return wav_i16, mel.astype(jnp.bfloat16), out.mel_lens
 
         self._programs[key] = run
         return run
@@ -166,4 +168,4 @@ class TTSPipeline:
                 f"tail of the utterance was truncated — raise max_seq_len or "
                 f"split the text", stacklevel=2)
         wavs = [wav[i, :int(mel_lens[i]) * self.hop_length] for i in range(B)]
-        return wavs, np.asarray(mel), mel_lens
+        return wavs, np.asarray(mel).astype(np.float32), mel_lens

@@ -314,3 +314,34 @@ def test_train_cli_chunked_matches_single_step(workspace):
     assert len(losses["k1"]) == len(losses["k2"]) > 0
     for a, b in zip(losses["k1"], losses["k2"]):
         assert abs(a - b) < 1e-3, (losses["k1"], losses["k2"])
+
+
+def test_train_cli_strict_order_matches_k1(workspace):
+    """`tpu.strict_batch_order: true` with chunked dispatch must reproduce
+    the k=1 loss trajectory EXACTLY regardless of how the corpus's shape
+    buckets interleave (ordering semantics pinned in
+    test_chunk_scheduler.py; this is the CLI-level integration)."""
+    import re
+
+    from mixgantts_tpu.cli.common import load_configs
+    from mixgantts_tpu.cli.train import main
+
+    logs = {}
+    for tag, k, strict in (("sok1", 1, False), ("sok3", 3, True)):
+        args = _args(model="naive", dataset="TestCorpus", restore_step=0,
+                     path_tag=tag, seed=1, data_parallel=False,
+                     steps_per_call=k)
+        configs = load_configs(args)
+        configs[1].setdefault("tpu", {})["strict_batch_order"] = strict
+        main(args, configs)
+        with open(os.path.join(configs[2]["path"]["log_path"], "train",
+                               "log.txt")) as f:
+            logs[tag] = f.read()
+
+    losses = {
+        tag: [float(x) for x in re.findall(r"-?\d+\.\d+", text)]
+        for tag, text in logs.items()
+    }
+    assert len(losses["sok1"]) == len(losses["sok3"]) > 0
+    for a, b in zip(losses["sok1"], losses["sok3"]):
+        assert abs(a - b) < 1e-3, (losses["sok1"], losses["sok3"])
