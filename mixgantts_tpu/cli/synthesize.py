@@ -38,8 +38,12 @@ def synthesize(model, variables, args, configs, vocoder, batches,
     if not args.teacher_forced:
         # single / batch-from-text: the serving pipeline compiles the whole
         # text->waveform path into one bucketed XLA program per shape
+        mesh = None
+        if getattr(args, "data_parallel", False):
+            from ..parallel import make_mesh
+            mesh = make_mesh(jax.devices(), model_axis=1)
         pipeline = TTSPipeline(model, variables, vocoder, preprocess_config,
-                               model_config)
+                               model_config, mesh=mesh)
         for i, batch in enumerate(batches):
             wavs, mels, mel_lens = pipeline(
                 batch, p_control=pitch_control, e_control=energy_control,
@@ -117,6 +121,10 @@ def build_argparser():
     parser.add_argument("--pitch_control", type=float, default=1.0)
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard batched synthesis over all devices ('data' mesh axis; "
+             "batches pad up to a device multiple and trim on return)")
     return parser
 
 

@@ -143,6 +143,21 @@ class TTSPipeline:
         texts = np.pad(texts, ((0, 0), (0, P - texts.shape[1])))
         wb = np.pad(wb, ((0, 0), (0, W - wb.shape[1])))
         spk = batch.get("spker_embeds")
+        speakers = np.asarray(batch["speakers"])
+        src_lens = np.asarray(batch["src_lens"])
+        src_w_lens = np.asarray(batch["src_w_lens"])
+        if self.mesh is not None:
+            # the 'data' axis shards the batch dim: pad B up to a multiple
+            # of the axis size by repeating row 0, trim outputs below
+            n_data = self.mesh.shape["data"]
+            pad_b = (-B) % n_data
+            if pad_b:
+                rep = lambda a: np.concatenate(
+                    [a] + [a[:1]] * pad_b, axis=0)
+                texts, wb = rep(texts), rep(wb)
+                speakers, src_lens, src_w_lens = (
+                    rep(speakers), rep(src_lens), rep(src_w_lens))
+                spk = rep(np.asarray(spk)) if spk is not None else None
         run = self._compiled(P, W, T, spk is not None)
 
         if rng is None:
@@ -151,15 +166,16 @@ class TTSPipeline:
         wav, mel, mel_lens = run(
             self.variables["params"], self.variables.get("batch_stats", {}),
             self.vocoder.params, rng,
-            jnp.asarray(batch["speakers"]), jnp.asarray(texts),
-            jnp.asarray(batch["src_lens"]), jnp.asarray(wb),
-            jnp.asarray(batch["src_w_lens"]),
+            jnp.asarray(speakers), jnp.asarray(texts),
+            jnp.asarray(src_lens), jnp.asarray(wb),
+            jnp.asarray(src_w_lens),
             None if spk is None else jnp.asarray(spk),
             jnp.float32(p_control), jnp.float32(e_control),
             jnp.float32(d_control))
 
-        wav = np.asarray(wav)  # already int16, converted on device
-        mel_lens = np.asarray(mel_lens)
+        wav = np.asarray(wav)[:B]  # already int16, converted on device
+        mel = np.asarray(mel)[:B]
+        mel_lens = np.asarray(mel_lens)[:B]
         if (mel_lens >= T).any():
             import warnings
             warnings.warn(
@@ -168,4 +184,4 @@ class TTSPipeline:
                 f"tail of the utterance was truncated — raise max_seq_len or "
                 f"split the text", stacklevel=2)
         wavs = [wav[i, :int(mel_lens[i]) * self.hop_length] for i in range(B)]
-        return wavs, np.asarray(mel).astype(np.float32), mel_lens
+        return wavs, mel.astype(np.float32), mel_lens

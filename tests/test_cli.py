@@ -345,3 +345,22 @@ def test_train_cli_strict_order_matches_k1(workspace):
     assert len(losses["sok1"]) == len(losses["sok3"]) > 0
     for a, b in zip(losses["sok1"], losses["sok3"]):
         assert abs(a - b) < 1e-3, (losses["sok1"], losses["sok3"])
+
+
+def test_synthesize_cli_batch_data_parallel(workspace, monkeypatch):
+    """--data_parallel batch synthesis shards the pipeline over the
+    (virtual 8-device) 'data' mesh axis; ragged final batches pad to a
+    device multiple and trim on return."""
+    from mixgantts_tpu.cli import synthesize as syn
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["synthesize.py", "--restore_step", "4", "--model", "naive",
+         "--mode", "batch", "--source", "preprocessed/val.txt",
+         "--dataset", "TestCorpus", "--data_parallel"])
+    syn.cli()
+    result_dir = os.path.join(
+        workspace, "output/result/TestCorpus_naive", "4")
+    wavs = [f for f in os.listdir(result_dir)
+            if f.endswith(".wav") and "teacher" not in f]
+    assert len(wavs) >= 1

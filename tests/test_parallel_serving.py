@@ -66,3 +66,46 @@ def test_dp8_synthesis_matches_single_device():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dp_wav), np.asarray(ref_wav),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_mesh_matches_plain_and_pads_ragged_batches():
+    """TTSPipeline(mesh=dp8): a divisible batch must match the meshless
+    pipeline exactly (same program shapes -> same rng draws); a ragged
+    batch pads to the device multiple and trims on return."""
+    from mixgantts_tpu.pipeline import TTSPipeline
+
+    from test_pipeline import HOP, PREPROCESS_CONFIG
+
+    model = tiny_model("naive")
+    batch = text_batch(B=8, P=16, seed=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=64, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    mesh = make_mesh(jax.devices()[:8], model_axis=1)
+
+    plain = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                        MODEL_CONFIG)
+    sharded = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                          MODEL_CONFIG, mesh=mesh)
+    rng = jax.random.PRNGKey(11)
+    wavs_p, mels_p, lens_p = plain(batch, rng=rng)
+    wavs_s, mels_s, lens_s = sharded(batch, rng=rng)
+    np.testing.assert_array_equal(lens_p, lens_s)
+    np.testing.assert_allclose(mels_s, mels_p, rtol=1e-4, atol=2e-2)
+    for a, b in zip(wavs_p, wavs_s):
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=2)
+
+    # ragged: B=3 pads to 8 on device, returns exactly 3 utterances
+    ragged = {k: (v[:3] if hasattr(v, "__len__") else v)
+              for k, v in batch.items()}
+    wavs_r, mels_r, lens_r = sharded(ragged, rng=rng)
+    assert len(wavs_r) == 3 and mels_r.shape[0] == 3 and len(lens_r) == 3
+    for i, w in enumerate(wavs_r):
+        assert w.dtype == np.int16
+        assert len(w) == int(lens_r[i]) * HOP
