@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 
-def main(mode="naive", precision="fp32", steps_per_call="1"):
+def main(mode="naive", precision="fp32", steps_per_call="1", variant=""):
     from __graft_entry__ import _flagship_model
     from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.discriminator import JCUDiscriminator
@@ -30,6 +30,8 @@ def main(mode="naive", precision="fp32", steps_per_call="1"):
     model, (pre_cfg, model_cfg, train_cfg) = _flagship_model(mode)
     if precision == "bf16":
         model_cfg.setdefault("tpu", {})["compute_dtype"] = "bfloat16"
+    if variant == "reuse":  # one-generator-forward GAN step (opt-in knob)
+        model_cfg.setdefault("tpu", {})["reuse_g_forward"] = True
     d = model_cfg["discriminator"]
     disc = JCUDiscriminator(
         n_mels=80, residual_channels=model_cfg["denoiser"][
@@ -99,7 +101,8 @@ def main(mode="naive", precision="fp32", steps_per_call="1"):
         best = min(best, (time.perf_counter() - start) / (iters * k))
     frames = int(mel_lens.sum())
     print(f"backend={jax.default_backend()} mode={mode} "
-          f"precision={precision} B={B} T={T} steps_per_call={k}")
+          f"precision={precision} B={B} T={T} steps_per_call={k}"
+          + (f" variant={variant}" if variant else ""))
     print(f"train step: {best * 1e3:8.2f} ms  "
           f"({frames / best:,.0f} mel-frames/s/chip, "
           f"{1.0 / best:.2f} it/s)")
@@ -133,4 +136,4 @@ def main(mode="naive", precision="fp32", steps_per_call="1"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:5])
