@@ -323,6 +323,15 @@ def schedule_segments(batch_stream, k, first_step, total_step, periods,
                                   until_boundary(step))):
             yield from emit(buffers.pop(key))
 
+    # end of a FINITE stream without a trailing epoch marker: flush the
+    # partial buffers rather than silently dropping tail batches (the
+    # train CLI's generator always ends epochs with None; this covers
+    # any other caller feeding a plain batch list)
+    for key in list(buffers):
+        yield from emit(buffers.pop(key))
+        if step > total_step:
+            return
+
 
 def build_argparser():
     parser = argparse.ArgumentParser()

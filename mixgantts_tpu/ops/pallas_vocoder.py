@@ -307,7 +307,6 @@ def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
     F = stacked["fold"]
     B, T, C = x.shape
     Cf = F * C
-    n_branch, n_pair = stacked["w1"].shape[:2]
     w1, w2 = stacked["w1"], stacked["w2"]
     if not interpret:
         w1 = w1.astype(jnp.bfloat16)

@@ -40,7 +40,8 @@ class TTSPipeline:
 
     Pass `mesh` (from `parallel.make_mesh`) to shard batched synthesis over
     the 'data' axis: params replicate, every per-utterance input/output
-    splits across chips, and batch size must divide the axis.
+    splits across chips; ragged batches pad up to a multiple of the axis
+    size (repeating row 0) and trim on return, so any batch size works.
     """
 
     def __init__(self, model, variables, vocoder, preprocess_config,

@@ -1416,21 +1416,34 @@ def contains_hanzi(text):
 def hanzi_to_pinyin(text):
     """Convert a string to a list of TONE3 tokens, pypinyin-style:
     longest-match phrase overrides first, then per-character most-common
-    readings; non-hanzi characters pass through as single-char tokens
-    (whitespace is dropped)."""
+    readings; a RUN of consecutive non-hanzi characters passes through as
+    ONE token (whitespace drops and terminates a run) — matching
+    pypinyin's errors="default" segmentation, where an embedded Latin
+    word like "iPhone" comes back as a single item and therefore a
+    single "sp" downstream (`/root/reference/synthesize.py:70-103`),
+    not one silence per character."""
     readings = get_readings()
     max_phrase = max(len(p) for p in _PHRASES)
     out = []
+    run = []  # pending non-hanzi characters
+
+    def flush_run():
+        if run:
+            out.append("".join(run))
+            run.clear()
+
     i = 0
     while i < len(text):
         ch = text[i]
         if ch.isspace():
+            flush_run()
             i += 1
             continue
         matched = False
         for n in range(min(max_phrase, len(text) - i), 1, -1):
             chunk = text[i:i + n]
             if chunk in _PHRASES:
+                flush_run()
                 out.extend(_PHRASES[chunk])
                 i += n
                 matched = True
@@ -1438,10 +1451,13 @@ def hanzi_to_pinyin(text):
         if matched:
             continue
         if ch in _PHRASES:
+            flush_run()
             out.extend(_PHRASES[ch])
         elif ch in readings:
+            flush_run()
             out.append(readings[ch])
         else:
-            out.append(ch)  # non-hanzi / unknown: pass through (-> "sp")
+            run.append(ch)  # non-hanzi / unknown: accumulate the run
         i += 1
+    flush_run()
     return out

@@ -81,7 +81,10 @@ def main(mode="naive", precision="fp32", steps_per_call="1", variant=""):
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0))
     hbm_bytes = float(cost.get("bytes accessed", 0.0))
-    state, metrics = step_fn(state, batch)  # compile
+    # run the compiled executable directly: the loop below reuses it, so
+    # there is no second trace/lower of the full step
+    step_fn = compiled
+    state, metrics = step_fn(state, batch)  # warm-up
 
     def barrier(state):
         # materialize a param leaf: on the axon runtime block_until_ready

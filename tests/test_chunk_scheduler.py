@@ -86,3 +86,12 @@ def test_k1_is_pure_passthrough_in_both_modes():
         _, segs = run(stream, k=1, strict=strict)
         assert [b for seg in segs for b in seg] == stream[:3]
         assert all(len(s) == 1 for s in segs)
+
+
+def test_finite_stream_without_epoch_marker_flushes_tail():
+    """A plain batch list (no trailing None) must not silently drop the
+    partial buffers at end of stream."""
+    stream = [("A", 0), ("A", 1), ("B", 2)]
+    _, segs = run(stream, k=4)
+    flat = [b for seg in segs for b in seg]
+    assert sorted(x[1] for x in flat) == [0, 1, 2]

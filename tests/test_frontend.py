@@ -275,3 +275,18 @@ def test_build_lexicon_entries_cover_reference_syllables():
     for syl, phones in [("zhi1", ["zh", "iii1"]), ("jun1", ["j", "vn1"]),
                         ("a1", ["a1"]), ("r5", ["er5"])]:
         assert entries[syl] == phones
+
+
+def test_hanzi_mixed_latin_runs_group_to_one_token():
+    """pypinyin's errors='default' returns an embedded non-han run (e.g.
+    a Latin word) as ONE item -> one 'sp' downstream
+    (`/root/reference/synthesize.py:70-103`); per-character pass-through
+    would shred 'iPhone' into 6 silences."""
+    from mixgantts_tpu.text.hanzi import hanzi_to_pinyin
+
+    toks = hanzi_to_pinyin("我的iPhone坏了")
+    assert toks == ["wo3", "de5", "iPhone", "huai4", "le5"]
+    # whitespace terminates a run
+    assert hanzi_to_pinyin("abc def") == ["abc", "def"]
+    # runs between hanzi on both sides
+    assert hanzi_to_pinyin("你ok吗") == ["ni3", "ok", "ma5"]
