@@ -18,9 +18,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_platforms", "cpu,axon")
-except Exception:
+if os.environ.get("MIXGANTTS_TEST_CPU_ONLY"):
+    # drop the axon platform entirely: any backends() enumeration would
+    # otherwise raise/hang if the TPU tunnel service is down (the CPU
+    # suite is fully self-contained; only the few TPU-opt-in tests need
+    # the chip and fail loudly under this knob)
     jax.config.update("jax_platforms", "cpu")
+else:
+    try:
+        jax.config.update("jax_platforms", "cpu,axon")
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
