@@ -247,3 +247,23 @@ def test_mrf_stack_folded_tile_seams():
     got = mrf_stack_folded(x, st, tile=96, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_stack_taps_in_k_at_c128_boundary():
+    """C=128 routes through the taps-in-K concat matmul (one
+    [tile, k*C] @ [k*C, C] per conv) rather than per-tap [C, C] matmuls;
+    the switch point must stay numerically identical to the flax stack."""
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, stack_mrf_params,
+    )
+
+    C, T = 128, 40
+    x = jnp.asarray(np.random.RandomState(6).randn(1, T, C) * 0.5,
+                    jnp.float32)
+    stage = _mrf_stage(C, rks=(3,))
+    params = stage.init(jax.random.PRNGKey(6), x)["params"]
+    want = stage.apply({"params": params}, x)
+    st = stack_mrf_params(params, 0, (3,))
+    got = mrf_stack(x, st, (3,), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
