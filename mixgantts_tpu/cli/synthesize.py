@@ -52,17 +52,28 @@ def synthesize(model, variables, args, configs, vocoder, batches,
                           model_config, preprocess_config, result_path)
         return
 
-    # teacher-forced: duration/pitch/energy targets drive the model
+    # teacher-forced: duration/pitch/energy targets drive the model.
+    # One jitted program per bucket shape (retraced automatically): an
+    # eager model.apply would dispatch op-by-op through the host<->TPU
+    # tunnel at ~15-30 ms per blocking call.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("max_mel_len",))
+    def tf_forward(kwargs, max_mel_len, p_c, e_c, d_c, rng):
+        return model.apply(
+            variables, **kwargs, max_mel_len=max_mel_len, train=False,
+            p_control=p_c, e_control=e_c, d_control=d_c,
+            rngs={"diffusion": rng})
+
     for i, batch in enumerate(batches):
         kwargs = model_batch_of(batch)
         kwargs.pop("mels", None)
         kwargs.pop("mel_lens", None)
-        kwargs["max_mel_len"] = batch["mels"].shape[1]
-        out = model.apply(
-            variables, **kwargs, train=False,
-            p_control=pitch_control, e_control=energy_control,
-            d_control=duration_control,
-            rngs={"diffusion": jax.random.PRNGKey(i)})
+        out = tf_forward(kwargs, batch["mels"].shape[1],
+                         np.float32(pitch_control),
+                         np.float32(energy_control),
+                         np.float32(duration_control),
+                         jax.random.PRNGKey(i))
         synth_samples(args, batch, out, vocoder, model_config,
                       preprocess_config, result_path, model.schedule)
 
