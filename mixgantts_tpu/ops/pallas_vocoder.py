@@ -99,13 +99,15 @@ def _conv(t, w, b, d, C, nonzero_taps, circular=False):
     """Padded-11-tap dilated conv: out[i] = sum_t t[i + (tap-5)*d] @ W[tap].
     `nonzero_taps` statically skips the zero-padded taps of small kernels.
 
-    For C < 128 the taps go into the CONTRACTION dimension of one matmul
+    For C <= 128 the taps go into the CONTRACTION dimension of one matmul
     ([tile_h, rk*C] @ [rk*C, C]) instead of rk separate [C, C] matmuls:
     a per-tap matmul at C=32 uses ~6% of the 128x128 MXU, while rk*C
-    fills the K axis.  At C = 128 a per-tap [128, 128] matmul already
-    fills the array, so the concat copy is skipped."""
+    fills the K axis.  At C = 128 a per-tap [128, 128] matmul fills the
+    array too, but one [tile, 1408] @ [1408, 128] matmul pipelines
+    better than 11 shifted [128, 128] ones.  Above 128 (the C=256
+    branchwise stage) the concat buffer stops paying — per-tap stays."""
     half = TAPS // 2
-    if C >= 128:
+    if C > 128:
         acc = None
         for tap in nonzero_taps:
             r = jnp.dot(_shift(t, -(tap - half) * d, C, circular),
