@@ -125,3 +125,51 @@ def test_dp8_step_trajectory(mode):
     for r, d in zip(grad_leaves(ref_state.g_params),
                     grad_leaves(dp_state.g_params)):
         np.testing.assert_allclose(d, r, rtol=2e-3, atol=atol)
+
+
+def test_chunked_step_on_dp_tp_mesh():
+    """The production k-step scan dispatch (`chunk_train_step`) compiled
+    over a dp4 x tp2 mesh with Megatron param sharding: one stacked k=2
+    dispatch must execute, advance the step counter, and its step-1 metric
+    must match the single-device step (single-device chunk==sequential is
+    pinned in test_train_step.py; this covers the SPMD path the train CLI
+    takes when tpu.steps_per_call > 1).  Moved here from
+    __graft_entry__._dryrun_impl so the driver artifact needs exactly one
+    SPMD compile."""
+    from mixgantts_tpu.parallel import partition_specs, shard_state
+    from mixgantts_tpu.train import chunk_train_step
+
+    model, disc, state, step_fn_jit, batch, tc = setup("naive")
+    batch = tile_batch(batch, 4)  # B=8
+    batch2 = dict(batch)
+    batch2["mels"] = batch["mels"] + 0.1
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), batch, batch2)
+
+    ref_state, ref_m1 = step_fn_jit(state, batch)
+    _, ref_m2 = step_fn_jit(ref_state, batch2)
+
+    state2 = setup("naive")[2]
+    mesh = make_mesh(jax.devices()[:8], model_axis=2)  # dp4 x tp2
+    specs = partition_specs(state2, mesh)
+    step_fn = make_train_step(
+        "naive", model, disc,
+        {"transformer": {"encoder_hidden": 32},
+         "discriminator": {"n_layer": 3, "n_cond_layer": 2}}, tc)
+    with mesh:
+        chunked = shard_train_step(chunk_train_step(step_fn), mesh,
+                                   state_specs=specs, batch_stacked=True)
+        sh_state = shard_state(mesh, state2, specs)
+        sh_state, ms = chunked(
+            sh_state, shard_batch(mesh, stacked, stacked=True))
+
+    assert int(sh_state.step) == 2
+    assert ms["total_loss"].shape == (2,)
+    np.testing.assert_allclose(float(ms["total_loss"][0]),
+                               float(ref_m1["total_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    # step-2 params sit inside the Adam sign-flip envelope (see the
+    # trajectory test's docstring), so step 2 only needs to stay in-family
+    np.testing.assert_allclose(float(ms["total_loss"][1]),
+                               float(ref_m2["total_loss"]),
+                               rtol=0.05, atol=0.05)
