@@ -19,7 +19,7 @@ import random
 import numpy as np
 from scipy.stats import betabinom
 
-from ..audio.f0 import extract_f0, interpolate_unvoiced
+from ..audio.f0 import extract_f0, extract_f0_dio, interpolate_unvoiced
 from ..audio.stft import TacotronSTFT
 from ..audio.wav import load_wav
 from ..utils.tools import word_level_subdivision
@@ -122,6 +122,14 @@ class Preprocessor:
         self.max_phoneme_num = pp["text"]["max_phoneme_num"]
         self.beta_binomial_scaling = pp["aligner"]["beta_binomial_scaling_factor"]
         self.pitch_phoneme_averaging = pp["pitch"]["feature"] == "phoneme_level"
+        # 'nccf' (default, Praat-family) or 'dio' (the reference's
+        # pyworld DIO+StoneMask family, `preprocessor/preprocessor.py:294`);
+        # cross-tracker drift is bounded in tests/test_f0_agreement.py
+        self.pitch_tracker = pp["pitch"].get("tracker", "nccf")
+        if self.pitch_tracker not in ("nccf", "dio"):
+            raise ValueError(
+                f"unknown preprocessing.pitch.tracker "
+                f"{self.pitch_tracker!r}: expected 'nccf' or 'dio'")
         self.energy_phoneme_averaging = pp["energy"]["feature"] == "phoneme_level"
         self.pitch_normalization = pp["pitch"]["normalization"]
         self.energy_normalization = pp["energy"]["normalization"]
@@ -164,7 +172,8 @@ class Preprocessor:
         with open(text_path) as f:
             raw_text = f.readline().strip("\n")
 
-        pitch = extract_f0(wav, self.sampling_rate, self.hop_length)
+        track = extract_f0 if self.pitch_tracker == "nccf" else extract_f0_dio
+        pitch = track(wav, self.sampling_rate, self.hop_length)
         pitch = pitch[:sum(duration)]
         if np.sum(pitch != 0) <= 1:
             return None

@@ -49,12 +49,17 @@ class Vocoder:
         """(params, mel) -> waveform; the raw network (no MelGAN input
         scale).  On TPU backends the HiFi-GAN MRF stack runs as a fused
         Pallas kernel (`hifigan.fused_apply`); the flax module path is
-        kept for CPU/tests and non-HiFi-GAN models."""
+        kept for CPU/tests, non-HiFi-GAN models, and V2/V3-style configs
+        with per-branch resblock dilations (which the fused kernel rejects
+        — it shares one dilation schedule across branches)."""
         if (self.name == "HiFi-GAN" and self.config is not None
                 and jax.default_backend() in ("tpu", "axon")):
-            from .hifigan import fused_apply
-            config = self.config
-            return lambda params, mel: fused_apply(params, mel, config)
+            dils = [tuple(d)
+                    for d in self.config["resblock_dilation_sizes"]]
+            if all(d == dils[0] for d in dils):
+                from .hifigan import fused_apply
+                config = self.config
+                return lambda params, mel: fused_apply(params, mel, config)
         module = self.module
         return lambda params, mel: module.apply({"params": params}, mel)
 

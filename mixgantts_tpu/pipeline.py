@@ -45,12 +45,17 @@ class TTSPipeline:
     """
 
     def __init__(self, model, variables, vocoder, preprocess_config,
-                 model_config, mesh=None):
+                 model_config, mesh=None, mel_dtype=jnp.bfloat16):
         self.model = model
         self.variables = variables
         self.vocoder = vocoder
         self.preprocess_config = preprocess_config
         self.mesh = mesh
+        # dtype the returned mel crosses the host<->TPU tunnel in: bf16
+        # halves the second-largest transfer and is plenty for the
+        # plotting/logging consumers, but quantizes (~0.4% rel.) — pass
+        # mel_dtype=jnp.float32 when the mel feeds re-vocoding/analysis
+        self.mel_dtype = jnp.dtype(mel_dtype)
         tpu_cfg = model_config.get("tpu", {}) or {}
         self.length_buckets = tuple(tpu_cfg.get("length_buckets", ()))
         self.phone_buckets = tuple(tpu_cfg.get("phone_buckets", ()))
@@ -76,6 +81,7 @@ class TTSPipeline:
         model, vocoder = self.model, self.vocoder
         in_scale = 1.0 / math.log(10.0) if vocoder.name == "MelGAN" else 1.0
         dtype = self.compute_dtype
+        mel_dtype = self.mel_dtype
         max_wav = float(self.max_wav_value)
 
         jit_kwargs = {}
@@ -119,9 +125,10 @@ class TTSPipeline:
             wav_i16 = jnp.clip(
                 wav.astype(jnp.float32) * max_wav,
                 -max_wav, max_wav - 1).astype(jnp.int16)
-            # mel ships bf16 (plots/logging don't need fp32 precision;
-            # halves the second-largest transfer), upcast host-side
-            return wav_i16, mel.astype(jnp.bfloat16), out.mel_lens
+            # mel ships in self.mel_dtype (default bf16: plots/logging
+            # don't need fp32; halves the second-largest transfer), upcast
+            # host-side — see __init__ for the precision contract
+            return wav_i16, mel.astype(mel_dtype), out.mel_lens
 
         self._programs[key] = run
         return run
@@ -129,8 +136,12 @@ class TTSPipeline:
     def __call__(self, batch, p_control=1.0, e_control=1.0, d_control=1.0,
                  rng=None):
         """batch: dict with texts [B, P], src_lens, word_boundaries [B, W],
-        src_w_lens, speakers, optional spker_embeds.  Returns a list of B
-        int16 waveforms trimmed to each predicted mel length."""
+        src_w_lens, speakers, optional spker_embeds.  Returns (wavs, mel,
+        mel_lens): a list of B int16 waveforms trimmed to each predicted
+        mel length, and the mel batch as float32 — NOTE the mel crossed
+        the device->host tunnel in ``self.mel_dtype`` (default bfloat16,
+        ~0.4% rel. quantization; construct with mel_dtype=jnp.float32 for
+        full precision)."""
         texts = np.asarray(batch["texts"])
         wb = np.asarray(batch["word_boundaries"])
         B = texts.shape[0]
@@ -179,10 +190,12 @@ class TTSPipeline:
         mel_lens = np.asarray(mel_lens)[:B]
         if (mel_lens >= T).any():
             import warnings
+            # a legitimate prediction landing exactly on the cap is
+            # indistinguishable from a clamped longer one, hence "may"
             warnings.warn(
                 f"synthesis frame budget saturated: predicted mel length hit "
                 f"the static cap T={T} (max_seq_len={self.max_seq_len}); the "
-                f"tail of the utterance was truncated — raise max_seq_len or "
-                f"split the text", stacklevel=2)
+                f"tail of the utterance may have been truncated — raise "
+                f"max_seq_len or split the text", stacklevel=2)
         wavs = [wav[i, :int(mel_lens[i]) * self.hop_length] for i in range(B)]
         return wavs, mel.astype(np.float32), mel_lens
