@@ -290,3 +290,134 @@ def test_hanzi_mixed_latin_runs_group_to_one_token():
     assert hanzi_to_pinyin("abc def") == ["abc", "def"]
     # runs between hanzi on both sides
     assert hanzi_to_pinyin("你ok吗") == ["ni3", "ok", "ma5"]
+
+
+# ---------------------------------------------------------------------------
+# Hanzi table coverage, MEASURED (VERDICT r2 #6: "measure, don't assert").
+# The corpus below is everyday Mandarin running text written independently
+# for this test (news, dialogue, travel, tech, weather, food, time) — it is
+# a usage sample, not an excerpt of the table, so token coverage on it
+# estimates coverage on real input to `synthesize.py --text <hanzi>`
+# (reference behavior: `/root/reference/synthesize.py:70-103`).
+# ---------------------------------------------------------------------------
+
+_EVERYDAY_ZH = [
+    "今天天气很好，我们一起去公园散步吧。",
+    "他昨天晚上十点才从公司回到家里。",
+    "这个问题比较复杂，需要大家认真讨论。",
+    "中国经济近年来发展得非常快。",
+    "请问去火车站应该坐哪路公共汽车？",
+    "我觉得这部电影的音乐特别好听。",
+    "银行下午五点关门，你最好早一点去。",
+    "老师让我们把这篇课文读三遍。",
+    "孩子们在教室里安静地写作业。",
+    "明天可能会下雨，出门记得带伞。",
+    "她在大学里学习计算机科学专业。",
+    "晚饭我想吃米饭、青菜和红烧鱼。",
+    "这家商店的东西又便宜质量又好。",
+    "我们公司最近招聘了很多新员工。",
+    "手机没电了，你能借我一个充电器吗？",
+    "医生说他的身体已经完全恢复了。",
+    "春节期间，全家人都会回老家过年。",
+    "图书馆里不允许大声说话。",
+    "他每天早上跑步半个小时锻炼身体。",
+    "这次考试的成绩比上次提高了不少。",
+    "政府决定加大对教育的投入。",
+    "科学家发现了一种新的治疗方法。",
+    "飞机因为天气原因推迟了两个小时起飞。",
+    "请把窗户关上，外面风太大了。",
+    "我对历史和文化方面的书很感兴趣。",
+    "市场上水果的价格最近涨了一些。",
+    "他们正在讨论下个月旅行的计划。",
+    "这条路修好以后，交通方便多了。",
+    "妈妈做的饺子是我最喜欢的食物。",
+    "会议的时间改到星期五上午九点。",
+    "网络技术改变了人们的生活方式。",
+    "运动员们为了比赛每天刻苦训练。",
+    "秋天到了，树叶慢慢变黄落下来。",
+    "请大家排队上车，不要拥挤。",
+    "这个城市的夜景非常漂亮。",
+    "他用了三年时间写完了这本小说。",
+    "环境保护是我们共同的责任。",
+    "弟弟的梦想是成为一名医生。",
+    "超市里的牛奶和面包都卖完了。",
+    "音乐会结束后，观众热烈鼓掌。",
+    "长江是中国最长的河流。",
+    "爷爷喜欢在院子里种花养鸟。",
+    "新的地铁线路下个月正式开通。",
+    "她把重要的文件放在办公室的抽屉里。",
+    "我们应该养成早睡早起的好习惯。",
+    "电视里正在播放一场精彩的足球比赛。",
+    "那家餐厅的服务态度特别热情。",
+    "学好一门外语需要长期的坚持。",
+    "警察帮助迷路的老人找到了家。",
+    "工厂引进了先进的生产设备。",
+    "暑假的时候我打算去北京旅游。",
+    "这种药一天吃两次，每次一片。",
+    "大家对这个建议都表示同意。",
+    "冬天的早晨，湖面上结了一层薄冰。",
+    "公司的销售额比去年增长了百分之二十。",
+    "他一边听音乐一边收拾房间。",
+    "博物馆里展出了许多珍贵的文物。",
+    "姐姐正在厨房里准备晚餐。",
+    "由于道路施工，这段时间经常堵车。",
+    "读书可以让人增长知识开阔眼界。",
+]
+
+
+def test_hanzi_everyday_coverage_measured():
+    """Frequency-weighted (running-text) token coverage of the hanzi table
+    + phrase overrides on an independent everyday corpus, with the numbers
+    in the assertion messages.  Floors: >= 98% of hanzi tokens covered,
+    every covered token emits a lexicon-decomposable TONE3 syllable, and
+    the multi-char polyphone-override machinery actually fires on real
+    text (>= 15 distinct phrase hits)."""
+    import re
+
+    from mixgantts_tpu.text.hanzi import (
+        _CJK_RE, _PHRASES, get_readings, hanzi_to_pinyin)
+    from mixgantts_tpu.text.pinyin import pinyin_to_phones
+
+    readings = get_readings()
+    tone3 = re.compile(r"^[a-z]+[1-5]$")
+
+    total = covered = 0
+    phrase_hits = {}
+    for sent in _EVERYDAY_ZH:
+        for ch in sent:
+            if _CJK_RE.match(ch):
+                total += 1
+                if ch in readings or ch in _PHRASES:
+                    covered += 1
+        # count multi-char override firings (longest-match, same order as
+        # hanzi_to_pinyin): these are the polyphone disambiguation path
+        i, max_p = 0, max(len(p) for p in _PHRASES)
+        while i < len(sent):
+            for n in range(min(max_p, len(sent) - i), 1, -1):
+                if sent[i:i + n] in _PHRASES:
+                    phrase_hits[sent[i:i + n]] = (
+                        phrase_hits.get(sent[i:i + n], 0) + 1)
+                    i += n
+                    break
+            else:
+                i += 1
+        # every sentence must convert into only TONE3 syllables +
+        # punctuation runs, each syllable lexicon-decomposable
+        for tok in hanzi_to_pinyin(sent):
+            if tone3.match(tok):
+                assert pinyin_to_phones(tok), (sent, tok)
+            else:
+                assert not _CJK_RE.search(tok) or tok not in readings, (
+                    f"uncovered hanzi run {tok!r} in {sent!r}")
+
+    cov = covered / total
+    assert total > 800, f"corpus too small to be meaningful: {total}"
+    assert cov >= 0.98, (
+        f"everyday-text token coverage {cov:.4f} ({covered}/{total})")
+    assert len(phrase_hits) >= 15, (
+        f"only {len(phrase_hits)} distinct phrase overrides fired: "
+        f"{sorted(phrase_hits)}")
+    # headline numbers, visible with pytest -s and recorded in BASELINE.md
+    print(f"[hanzi coverage] tokens={total} covered={covered} "
+          f"({cov:.2%}); distinct phrase overrides fired="
+          f"{len(phrase_hits)}, total firings={sum(phrase_hits.values())}")
