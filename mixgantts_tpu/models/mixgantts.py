@@ -26,6 +26,30 @@ from .diffusion import DiffusionSchedule
 from .linguistic_encoder import LinguisticEncoder
 
 
+class AuxStage(NamedTuple):
+    """Everything the (shallow-mode frozen) aux stack produces: linguistic
+    encoder features + FFT-decoder/PostNet coarse mel + speaker embedding,
+    plus the encoder side outputs the losses/metrics read.  Returned by
+    `MixGANTTS.__call__(aux_only=True)` and accepted back via
+    `aux_reuse=` so a train step can run the aux stack ONCE and the
+    diffusion branch twice (independent D-phase/G-phase noise draws) —
+    see train/step.py `tpu.reuse_aux_forward`."""
+    features: jnp.ndarray                    # [B,T,H] encoder output (cond)
+    coarse_mel: Optional[jnp.ndarray]        # [B,T,80] raw-scale
+    postnet_output: Optional[jnp.ndarray]    # [B,T,80] (= coarse_mel, but
+    #                                          kept separate so gradients
+    #                                          flow only where they should)
+    speaker_emb: Optional[jnp.ndarray]       # [B,H]
+    pitch_pred: jnp.ndarray                  # [B,P]
+    energy_pred: jnp.ndarray                 # [B,P]
+    log_dur_w_pred: jnp.ndarray              # [B,W]
+    dur_w_rounded: jnp.ndarray               # [B,W]
+    mel_mask: jnp.ndarray                    # [B,T] bool True=valid
+    mel_lens: jnp.ndarray                    # [B]
+    attn: tuple                              # (masked, raw)
+    attn_logprob: jnp.ndarray
+
+
 class GeneratorOutput(NamedTuple):
     mel_pred: jnp.ndarray                    # train: normalized x0 pred
     #                                          ([B,T,80]; aux: [S+1,B,T,80]
@@ -158,6 +182,9 @@ class MixGANTTS(nn.Module):
         train=False,
         return_trace=False,  # inference only: mel_pred = full [S+1,...] trace
         noise_override=None,  # dict of injected diffusion randomness (below)
+        aux_only=False,      # return the AuxStage (no diffusion branch)
+        aux_reuse=None,      # AuxStage: skip enc/decoder/postnet, run only
+        #                      the diffusion branch on these activations
     ):
         # noise_override makes every diffusion draw deterministic (parity
         # tests vs the torch reference, reproducible synthesis).  Keys —
@@ -178,44 +205,21 @@ class MixGANTTS(nn.Module):
         mel_mask = (sequence_mask(mel_lens, max_mel_len)
                     if mel_lens is not None else None)
 
-        enc = LinguisticEncoder(
-            hidden=self.hidden,
-            n_layers=self.encoder_layers,
-            n_heads=self.encoder_heads,
-            conv_kernel_size=self.conv_kernel_size,
-            dropout=self.encoder_dropout,
-            window_size=self.encoder_window_size,
-            max_seq_len=self.max_seq_len,
-            n_bins=self.n_bins,
-            pitch_range=(self.stats.pitch_min, self.stats.pitch_max),
-            energy_range=(self.stats.energy_min, self.stats.energy_max),
-            pitch_quantization=self.pitch_quantization,
-            energy_quantization=self.energy_quantization,
-            vp_filter_size=self.vp_filter_size,
-            vp_kernel_size=self.vp_kernel_size,
-            vp_dropout=self.vp_dropout,
-            name="linguistic_encoder",
-        )(
-            texts, src_lens, word_boundaries, src_w_lens, max_mel_len,
-            mel_mask=mel_mask, attn_prior=attn_priors,
-            pitch_target=p_targets, energy_target=e_targets,
-            duration_target=d_targets, p_control=p_control,
-            d_control=d_control, train=train,
-        )
-        output = enc.features
-        mel_mask = enc.mel_mask
-        mel_len = enc.mel_len
-
-        speaker_emb = None
-        if self.multi_speaker:
-            if self.embedder_type == "none":
-                speaker_emb = nn.Embed(
-                    self.n_speakers, self.hidden, name="speaker_emb")(speakers)
-            else:
-                assert spker_embeds is not None, \
-                    "external speaker embedding required"
-                speaker_emb = nn.Dense(
-                    self.hidden, name="speaker_proj")(spker_embeds)
+        if aux_reuse is not None:
+            aux = aux_reuse
+        else:
+            aux = self._aux_stage(
+                speakers, texts, src_lens, word_boundaries, src_w_lens,
+                max_mel_len, mel_mask, attn_priors, p_targets, e_targets,
+                d_targets, spker_embeds, p_control, d_control, train)
+        if aux_only:
+            return aux
+        output = aux.features
+        mel_mask = aux.mel_mask
+        mel_len = aux.mel_lens
+        speaker_emb = aux.speaker_emb
+        coarse_mel = aux.coarse_mel
+        postnet_output = aux.postnet_output
 
         denoiser = Denoiser(
             n_mels=self.n_mels,
@@ -226,20 +230,6 @@ class MixGANTTS(nn.Module):
             fused=self.fused_denoiser if mels is None else False,
             name="denoiser",
         )
-
-        coarse_mel = postnet_output = None
-        if self.mode in ("aux", "shallow"):
-            dec = Decoder(
-                hidden=self.hidden, n_layers=self.decoder_layers,
-                n_heads=self.decoder_heads, d_inner=self.conv_filter_size,
-                kernel_size=self.conv_kernel_size,
-                dropout=self.decoder_dropout, max_seq_len=self.max_seq_len,
-                name="decoder",
-            )(output, mel_mask, train=train)
-            coarse = nn.Dense(self.n_mels, name="mel_linear")(dec)
-            postnet_output = coarse + PostNet(
-                n_mels=self.n_mels, name="postnet")(coarse, train=train)
-            coarse_mel = postnet_output
 
         x_ts = x_t_prevs = x_t_prev_preds = t_step = None
         sched = self.schedule
@@ -323,17 +313,93 @@ class MixGANTTS(nn.Module):
             x_t_prev_preds=x_t_prev_preds,
             speaker_emb=_maybe_stop(speaker_emb, stop_aux),
             diffusion_step=t_step,
-            pitch_pred=enc.pitch_pred,
-            energy_pred=_maybe_stop(enc.energy_pred, stop_aux),
-            log_dur_w_pred=enc.log_dur_w_pred,
-            dur_w_rounded=_maybe_stop(enc.dur_w_rounded, stop_aux),
+            pitch_pred=aux.pitch_pred,
+            energy_pred=_maybe_stop(aux.energy_pred, stop_aux),
+            log_dur_w_pred=aux.log_dur_w_pred,
+            dur_w_rounded=_maybe_stop(aux.dur_w_rounded, stop_aux),
             src_mask=src_mask,
             mel_mask=mel_mask,
             src_lens=src_lens,
             mel_lens=mel_len,
-            attn=enc.attn,
-            attn_logprob=enc.attn_logprob,
+            attn=aux.attn,
+            attn_logprob=aux.attn_logprob,
             src_w_mask=src_w_mask,
             postnet_output=postnet_output,
             coarse_mel=_maybe_stop(coarse_mel, stop_aux),
+        )
+
+    def _aux_stage(self, speakers, texts, src_lens, word_boundaries,
+                   src_w_lens, max_mel_len, mel_mask, attn_priors,
+                   p_targets, e_targets, d_targets, spker_embeds,
+                   p_control, d_control, train):
+        """Linguistic encoder -> (aux/shallow: FFT decoder + PostNet) ->
+        AuxStage.  In shallow mode this is the (mostly frozen) stack the
+        diffusion branch conditions on; factored out so the train step can
+        run it once per step (`tpu.reuse_aux_forward`)."""
+        enc = LinguisticEncoder(
+            hidden=self.hidden,
+            n_layers=self.encoder_layers,
+            n_heads=self.encoder_heads,
+            conv_kernel_size=self.conv_kernel_size,
+            dropout=self.encoder_dropout,
+            window_size=self.encoder_window_size,
+            max_seq_len=self.max_seq_len,
+            n_bins=self.n_bins,
+            pitch_range=(self.stats.pitch_min, self.stats.pitch_max),
+            energy_range=(self.stats.energy_min, self.stats.energy_max),
+            pitch_quantization=self.pitch_quantization,
+            energy_quantization=self.energy_quantization,
+            vp_filter_size=self.vp_filter_size,
+            vp_kernel_size=self.vp_kernel_size,
+            vp_dropout=self.vp_dropout,
+            name="linguistic_encoder",
+        )(
+            texts, src_lens, word_boundaries, src_w_lens, max_mel_len,
+            mel_mask=mel_mask, attn_prior=attn_priors,
+            pitch_target=p_targets, energy_target=e_targets,
+            duration_target=d_targets, p_control=p_control,
+            d_control=d_control, train=train,
+        )
+        output = enc.features
+        mel_mask = enc.mel_mask
+        mel_len = enc.mel_len
+
+        speaker_emb = None
+        if self.multi_speaker:
+            if self.embedder_type == "none":
+                speaker_emb = nn.Embed(
+                    self.n_speakers, self.hidden, name="speaker_emb")(speakers)
+            else:
+                assert spker_embeds is not None, \
+                    "external speaker embedding required"
+                speaker_emb = nn.Dense(
+                    self.hidden, name="speaker_proj")(spker_embeds)
+
+        coarse_mel = postnet_output = None
+        if self.mode in ("aux", "shallow"):
+            dec = Decoder(
+                hidden=self.hidden, n_layers=self.decoder_layers,
+                n_heads=self.decoder_heads, d_inner=self.conv_filter_size,
+                kernel_size=self.conv_kernel_size,
+                dropout=self.decoder_dropout, max_seq_len=self.max_seq_len,
+                name="decoder",
+            )(output, mel_mask, train=train)
+            coarse = nn.Dense(self.n_mels, name="mel_linear")(dec)
+            postnet_output = coarse + PostNet(
+                n_mels=self.n_mels, name="postnet")(coarse, train=train)
+            coarse_mel = postnet_output
+
+        return AuxStage(
+            features=output,
+            coarse_mel=coarse_mel,
+            postnet_output=postnet_output,
+            speaker_emb=speaker_emb,
+            pitch_pred=enc.pitch_pred,
+            energy_pred=enc.energy_pred,
+            log_dur_w_pred=enc.log_dur_w_pred,
+            dur_w_rounded=enc.dur_w_rounded,
+            mel_mask=mel_mask,
+            mel_lens=mel_len,
+            attn=enc.attn,
+            attn_logprob=enc.attn_logprob,
         )

@@ -116,10 +116,52 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
 
     # --- GAN modes (naive / shallow) ---------------------------------------
 
+    if tpu_cfg.get("reuse_g_forward", False) and \
+            tpu_cfg.get("reuse_aux_forward", False):
+        raise ValueError(
+            "tpu.reuse_g_forward and tpu.reuse_aux_forward are mutually "
+            "exclusive (reuse_g_forward already shares the whole forward)")
+
     if tpu_cfg.get("reuse_g_forward", False):
         return _make_reuse_gan_step(loss_cfg, sched, opt_gan,
                                     g_forward, d_apply,
                                     d_loss_fn, g_loss_fn)
+
+    if tpu_cfg.get("reuse_aux_forward", False):
+        if mode != "shallow":
+            raise ValueError(
+                f"tpu.reuse_aux_forward only applies to shallow training "
+                f"(mode={mode!r} has no frozen aux stack to share); use "
+                f"tpu.reuse_g_forward to share the whole forward instead")
+
+        def g_aux_forward(g_params, batch_stats, batch, rngs):
+            if mixed:
+                g_params = _cast_floats(g_params, compute_dtype)
+                batch = _cast_floats(batch, compute_dtype)
+            variables = {"params": g_params, "batch_stats": batch_stats}
+            aux, mut = model.apply(
+                variables, **_model_kwargs(batch), train=True, rngs=rngs,
+                aux_only=True, mutable=["batch_stats"])
+            if mixed:
+                aux = _cast_floats(aux, jnp.float32)
+            return aux, mut.get("batch_stats", batch_stats)
+
+        def g_diff_forward(g_params, batch_stats, batch, aux, rng):
+            if mixed:
+                g_params = _cast_floats(g_params, compute_dtype)
+                batch = _cast_floats(batch, compute_dtype)
+                aux = _cast_floats(aux, compute_dtype)
+            variables = {"params": g_params, "batch_stats": batch_stats}
+            out = model.apply(
+                variables, **_model_kwargs(batch), train=True,
+                rngs={"diffusion": rng}, aux_reuse=aux)
+            if mixed:
+                out = _cast_floats(out, jnp.float32)
+            return out
+
+        return _make_shallow_reuse_aux_step(
+            loss_cfg, sched, opt_gan, g_aux_forward, g_diff_forward,
+            d_apply, d_loss_fn, g_loss_fn)
 
     def step_fn(state, batch):
         rng, r1d, r1f, r2d, r2f = jax.random.split(state.rng, 5)
@@ -266,6 +308,125 @@ def _make_reuse_gan_step(loss_cfg, sched, opt_gan, g_forward, d_apply,
                else np.zeros(np.shape(l), jax.dtypes.float0)
                for i, l in enumerate(flat)]
         g_grads, = vjp_fn(jax.tree_util.tree_unflatten(treedef, cot))
+
+        g_updates, new_opt_g = opt_gan.update(
+            g_grads, state.opt_g, state.g_params)
+        g_updates = apply_lr(g_updates, state.lr_g)
+        new_g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates)
+
+        metrics = dict(losses)
+        metrics.update(total_loss=D_loss + G_loss, D_loss=D_loss,
+                       G_loss=G_loss, adv_loss=adv_loss)
+        state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_batch_stats=new_bs,
+            d_params=new_d_params,
+            opt_g=new_opt_g, opt_d=new_opt_d, rng=rng)
+        return state, metrics
+
+    return step_fn
+
+
+def _make_shallow_reuse_aux_step(loss_cfg, sched, opt_gan, g_aux_forward,
+                                 g_diff_forward, d_apply, d_loss_fn,
+                                 g_loss_fn):
+    """Shallow GAN step sharing ONE aux-stack forward between the phases
+    (`tpu.reuse_aux_forward: true`).
+
+    In shallow mode the aux stack (linguistic encoder -> FFT decoder ->
+    PostNet) is frozen toward the diffusion branch — the reference detaches
+    cond/coarse/speaker before the denoiser (`model/mixgantts.py:146-159,
+    182-183`) — yet its forward runs TWICE per step because the D and G
+    phases each do a full generator pass (`train.py:133,153`).  This
+    opt-in variant computes the aux stack once (linearized with `jax.vjp`
+    so the postnet loss still backpropagates into it, reference
+    `model/loss.py:163-170`), then runs only the cheap diffusion branch
+    per phase, with INDEPENDENT (t, noise) draws per phase exactly like
+    the reference.  The only semantic departure is that both phases see
+    the same aux-stack dropout draws — strictly weaker than
+    `tpu.reuse_g_forward` (which also shares the diffusion draws)."""
+    from ..losses import generator_loss
+
+    def step_fn(state, batch):
+        # split 5 ways like the two-forward step so the diffusion streams
+        # (r1f/r2f) are draw-for-draw identical to it; r2d (phase-2
+        # dropout) is unused — the single aux forward takes r1d
+        rng, r1d, r1f, _r2d, r2f = jax.random.split(state.rng, 5)
+
+        # ONE aux-stack forward, linearized for the postnet-loss pullback.
+        def aux_fwd(g_params):
+            return g_aux_forward(g_params, state.g_batch_stats, batch,
+                                 {"dropout": r1d})
+
+        aux, aux_vjp, new_bs = jax.vjp(aux_fwd, state.g_params,
+                                       has_aux=True)
+
+        # Phase 1: D update on a diffusion branch with its own draws; all
+        # its generator-side inputs are detached (model-internal
+        # stop_gradient + this apply is never differentiated).
+        out1 = g_diff_forward(state.g_params, state.g_batch_stats, batch,
+                              jax.lax.stop_gradient(aux), r1f)
+        x_ts = out1.x_ts
+        x_t_prevs = out1.x_t_prevs
+        x_t_prev_preds = out1.x_t_prev_preds
+        spk = out1.speaker_emb
+        t = out1.diffusion_step
+
+        def d_loss(d_params):
+            fake_c, fake_u = d_apply(d_params, x_ts, x_t_prev_preds, spk, t)
+            real_c, real_u = d_apply(d_params, x_ts, x_t_prevs, spk, t)
+            r_loss, f_loss = d_loss_fn(
+                real_c[-1], real_u[-1], fake_c[-1], fake_u[-1])
+            return r_loss + f_loss
+
+        D_loss, d_grads = jax.value_and_grad(d_loss)(state.d_params)
+        d_updates, new_opt_d = opt_gan.update(
+            d_grads, state.opt_d, state.d_params)
+        d_updates = apply_lr(d_updates, state.lr_d)
+        new_d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates)
+
+        # Phase 2: fresh diffusion draws through the updated D.  Direct
+        # grads (denoiser) come from differentiating this apply; aux-stack
+        # grads (postnet loss) come from the float-output cotangents
+        # pulled back through the saved linearization.
+        flat, treedef = jax.tree_util.tree_flatten(aux)
+        fidx = [i for i, l in enumerate(flat)
+                if jnp.issubdtype(l.dtype, jnp.floating)]
+
+        def g_loss(g_params, floats):
+            leaves = list(flat)
+            for i, l in zip(fidx, floats):
+                leaves[i] = l
+            aux2 = jax.tree_util.tree_unflatten(treedef, leaves)
+            out2 = g_diff_forward(g_params, state.g_batch_stats, batch,
+                                  aux2, r2f)
+            fake_c, fake_u = d_apply(
+                new_d_params, out2.x_ts, out2.x_t_prev_preds,
+                out2.speaker_emb, out2.diffusion_step)
+            real_c, real_u = d_apply(
+                new_d_params, out2.x_ts, out2.x_t_prevs,
+                out2.speaker_emb, out2.diffusion_step)
+            adv_loss = g_loss_fn(fake_c[-1], fake_u[-1])
+            losses = generator_loss(
+                loss_cfg, sched, out2, batch["mels"], batch["p_targets"],
+                batch["e_targets"], step=state.step,
+                Ds=(real_c, real_u, fake_c, fake_u))
+            G_loss = adv_loss + losses["recon_loss"] + losses["fm_loss"]
+            return G_loss, (losses, adv_loss)
+
+        (G_loss, (losses, adv_loss)), (g_direct, fgrads) = \
+            jax.value_and_grad(g_loss, argnums=(0, 1), has_aux=True)(
+                state.g_params, [flat[i] for i in fidx])
+        fset = dict(zip(fidx, fgrads))
+        import numpy as np
+        cot = [fset[i] if i in fset
+               else np.zeros(np.shape(l), jax.dtypes.float0)
+               for i, l in enumerate(flat)]
+        g_aux_grads, = aux_vjp(jax.tree_util.tree_unflatten(treedef, cot))
+        g_grads = jax.tree_util.tree_map(
+            lambda a, b: a + b, g_direct, g_aux_grads)
 
         g_updates, new_opt_g = opt_gan.update(
             g_grads, state.opt_g, state.g_params)

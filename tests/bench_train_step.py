@@ -32,6 +32,8 @@ def main(mode="naive", precision="fp32", steps_per_call="1", variant=""):
         model_cfg.setdefault("tpu", {})["compute_dtype"] = "bfloat16"
     if variant == "reuse":  # one-generator-forward GAN step (opt-in knob)
         model_cfg.setdefault("tpu", {})["reuse_g_forward"] = True
+    elif variant == "reuse_aux":  # shallow: share the frozen aux forward
+        model_cfg.setdefault("tpu", {})["reuse_aux_forward"] = True
     d = model_cfg["discriminator"]
     disc = JCUDiscriminator(
         n_mels=80, residual_channels=model_cfg["denoiser"][

@@ -172,6 +172,131 @@ def test_reuse_g_forward_step(mode):
         assert np.mean(losses[-2:]) < np.mean(losses[:2])
 
 
+def test_reuse_aux_forward_step_matches_monolithic():
+    """tpu.reuse_aux_forward (shallow): ONE aux-stack forward shared by
+    both phases, diffusion branch run per phase with independent draws.
+    The step's D and G updates must equal a monolithically-computed step
+    using the same rng draws (full forward per phase, aux dropout r1d,
+    diffusion r1f/r2f) — proving the vjp pullback of the postnet loss
+    through the shared aux stack is the exact gradient."""
+    import copy
+
+    from mixgantts_tpu.losses import (
+        LossConfig, generator_loss, get_adversarial_losses_fn,
+    )
+    from mixgantts_tpu.train.optim import build_gan_optimizer, apply_lr
+
+    model_cfg = copy.deepcopy(MODEL_CONFIG)
+    model_cfg["tpu"] = {"reuse_aux_forward": True}
+    model, disc, state0, _, batch, tc = setup("shallow")
+    reuse_fn = jax.jit(make_train_step("shallow", model, disc,
+                                       model_cfg, tc))
+    state1, metrics = reuse_fn(state0, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+    # --- monolithic reference computation with the same draws -----------
+    rng, r1d, r1f, _r2d, r2f = jax.random.split(state0.rng, 5)
+    loss_cfg = LossConfig.from_configs("shallow", model_cfg, tc)
+    d_loss_fn, g_loss_fn = get_adversarial_losses_fn("lsgan")
+    opt = tc["optimizer"]
+    opt_gan = build_gan_optimizer(opt["betas"], opt["grad_clip_thresh"], 1)
+    kwargs = dict(batch)
+    kwargs["max_mel_len"] = batch["mels"].shape[1]
+
+    def fwd(g_params, rd, rf):
+        out, _ = model.apply(
+            {"params": g_params, "batch_stats": state0.g_batch_stats},
+            **kwargs, train=True, rngs={"dropout": rd, "diffusion": rf},
+            mutable=["batch_stats"])
+        return out
+
+    # D phase: full forward, draws (r1d, r1f), detached
+    out1 = jax.lax.stop_gradient(fwd(state0.g_params, r1d, r1f))
+
+    def d_loss(d_params):
+        fake = disc.apply({"params": d_params}, out1.x_ts,
+                          out1.x_t_prev_preds, out1.speaker_emb,
+                          out1.diffusion_step)
+        real = disc.apply({"params": d_params}, out1.x_ts, out1.x_t_prevs,
+                          out1.speaker_emb, out1.diffusion_step)
+        r_loss, f_loss = d_loss_fn(real[0][-1], real[1][-1],
+                                   fake[0][-1], fake[1][-1])
+        return r_loss + f_loss
+
+    D_loss, d_grads = jax.value_and_grad(d_loss)(state0.d_params)
+    d_updates, _ = opt_gan.update(d_grads, state0.opt_d, state0.d_params)
+    d_updates = apply_lr(d_updates, state0.lr_d)
+    exp_d_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state0.d_params, d_updates)
+
+    # G phase: full forward, draws (r1d aux dropout, r2f diffusion),
+    # through the updated D
+    def g_loss(g_params):
+        out2 = fwd(g_params, r1d, r2f)
+        fake_c, fake_u = disc.apply(
+            {"params": exp_d_params}, out2.x_ts, out2.x_t_prev_preds,
+            out2.speaker_emb, out2.diffusion_step)
+        real_c, real_u = disc.apply(
+            {"params": exp_d_params}, out2.x_ts, out2.x_t_prevs,
+            out2.speaker_emb, out2.diffusion_step)
+        adv = g_loss_fn(fake_c[-1], fake_u[-1])
+        losses = generator_loss(
+            loss_cfg, model.schedule, out2, batch["mels"],
+            batch["p_targets"], batch["e_targets"], step=state0.step,
+            Ds=(real_c, real_u, fake_c, fake_u))
+        return adv + losses["recon_loss"] + losses["fm_loss"]
+
+    g_grads = jax.grad(g_loss)(state0.g_params)
+    g_updates, _ = opt_gan.update(g_grads, state0.opt_g, state0.g_params)
+    g_updates = apply_lr(g_updates, state0.lr_g)
+    exp_g_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state0.g_params, g_updates)
+
+    assert np.allclose(float(metrics["D_loss"]), float(D_loss),
+                       rtol=1e-5, atol=1e-6)
+    for exp, got, tag in ((exp_d_params, state1.d_params, "D"),
+                          (exp_g_params, state1.g_params, "G")):
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(exp),
+                jax.tree_util.tree_leaves_with_path(got)):
+            # atol headroom: the split (aux, then diffusion) and monolithic
+            # programs fuse differently, so activations differ at float
+            # noise (~1e-7); elementwise Adam normalizes each gradient by
+            # its own magnitude, amplifying noise-dominated (near-zero-
+            # gradient) elements to ~1e-6-scale update differences.  A
+            # genuinely missing gradient path would show update-scale
+            # (>= 1e-4) diffs across a whole module, well above this atol.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+                err_msg=f"{tag} params diverge at {jax.tree_util.keystr(kp)}")
+
+    # freeze semantics survive the split-apply pullback
+    def moved(path):
+        a, b = state0.g_params, state1.g_params
+        for key in path:
+            a, b = a[key], b[key]
+        return any(not np.allclose(x, y) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+    assert moved(["denoiser"])
+    assert moved(["postnet"])
+    assert not moved(["linguistic_encoder", "pitch_predictor"])
+    assert not moved(["linguistic_encoder", "duration_predictor"])
+
+
+def test_reuse_aux_forward_rejected_outside_shallow():
+    import copy
+    model_cfg = copy.deepcopy(MODEL_CONFIG)
+    model_cfg["tpu"] = {"reuse_aux_forward": True}
+    model, disc, _, _, _, tc = setup("naive")
+    with pytest.raises(ValueError, match="shallow"):
+        make_train_step("naive", model, disc, model_cfg, tc)
+    model_cfg["tpu"]["reuse_g_forward"] = True
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_train_step("shallow", model, disc, model_cfg, tc)
+
+
 @pytest.mark.parametrize("mode", ["aux", "naive"])
 def test_eval_step(mode):
     model, disc, state, step_fn, batch, tc = setup(mode)
