@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 
-def main(B="8"):
+def main(B="8", variant=""):
     from __graft_entry__ import _flagship_model, _example_text_batch
     from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.vocoder import get_vocoder
@@ -39,6 +39,9 @@ def main(B="8"):
     call_batch = dict(batch)
     call_batch["ids"] = [str(i) for i in range(B)]
 
+    return_mel = variant != "nomel"  # 'nomel': wav-only serving, skip the
+    #                                  mel device->host transfer
+
     # warm-up compiles the bucketed program; returned wavs ARE host data
     # (np.asarray inside __call__), so each call is its own data-fetch
     # barrier — no extra materialization needed
@@ -49,15 +52,17 @@ def main(B="8"):
     for _ in range(3):
         start = time.perf_counter()
         for i in range(iters):
-            wavs, _, _ = pipeline(call_batch, rng=jax.random.PRNGKey(i))
+            wavs, _, _ = pipeline(call_batch, rng=jax.random.PRNGKey(i),
+                                  return_mel=return_mel)
         best = min(best, (time.perf_counter() - start) / iters)
     audio_s = sum(len(w) for w in wavs) / pre_cfg[
         "preprocessing"]["audio"]["sampling_rate"]
-    print(f"backend={jax.default_backend()} B={B} P={P} bucket_T={T_bucket}")
+    print(f"backend={jax.default_backend()} B={B} P={P} "
+          f"bucket_T={T_bucket} return_mel={return_mel}")
     print(f"pipeline call: {best * 1e3:8.2f} ms/batch  "
           f"({B / best:,.1f} utt/s, {best / B * 1e3:.2f} ms/utt, "
           f"{audio_s / best:,.0f}x realtime on generated audio)")
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(*sys.argv[1:3])

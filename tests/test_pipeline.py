@@ -81,6 +81,31 @@ def test_pipeline_synthesizes(mode):
     assert np.isfinite(mels).all()
 
 
+def test_pipeline_return_mel_false():
+    """return_mel=False skips the mel device->host transfer (mel is None)
+    but returns identical waveforms from the same compiled program."""
+    model = tiny_model("naive")
+    batch = text_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], word_boundaries=batch["word_boundaries"],
+        src_w_lens=batch["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    pipe = TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                       MODEL_CONFIG)
+    rng = jax.random.PRNGKey(7)
+    wavs, mels, mel_lens = pipe(batch, rng=rng)
+    wavs2, mels2, mel_lens2 = pipe(batch, rng=rng, return_mel=False)
+    assert mels2 is None
+    assert len(pipe._programs) == 1  # same compiled program
+    np.testing.assert_array_equal(mel_lens, mel_lens2)
+    for a, b in zip(wavs, wavs2):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pipeline_bucket_reuse():
     model = tiny_model("naive")
     batch = text_batch(P=10, W=4)
