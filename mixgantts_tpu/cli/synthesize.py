@@ -44,10 +44,15 @@ def synthesize(model, variables, args, configs, vocoder, batches,
             mesh = make_mesh(jax.devices(), model_axis=1)
         pipeline = TTSPipeline(model, variables, vocoder, preprocess_config,
                                model_config, mesh=mesh)
-        for i, batch in enumerate(batches):
-            wavs, mels, mel_lens = pipeline(
-                batch, p_control=pitch_control, e_control=energy_control,
-                d_control=duration_control, rng=jax.random.PRNGKey(i))
+        # double-buffered: batch N's device->host fetch + file writes
+        # overlap batch N+1's device compute (pipeline.stream submits
+        # ahead).  rng per batch is PRNGKey(i) via the call counter —
+        # bit-identical to the sequential loop this replaces.
+        batches = list(batches)
+        results = pipeline.stream(
+            batches, p_control=pitch_control, e_control=energy_control,
+            d_control=duration_control, return_mel=True)
+        for batch, (wavs, mels, mel_lens) in zip(batches, results):
             write_results(args, batch["ids"], mels, mel_lens, wavs,
                           model_config, preprocess_config, result_path)
         return

@@ -22,6 +22,16 @@ import numpy as np
 from .utils.tools import bucket_length
 
 
+class _Pending:
+    """In-flight synthesis batch: device-resident outputs + host metadata."""
+
+    __slots__ = ("wav", "mel", "mel_lens", "B", "T")
+
+    def __init__(self, wav, mel, mel_lens, B, T):
+        self.wav, self.mel, self.mel_lens = wav, mel, mel_lens
+        self.B, self.T = B, T
+
+
 def cast_floats(tree, dtype):
     """Cast every float leaf of a pytree to `dtype` (ints/bools untouched)."""
     def cast(x):
@@ -145,6 +155,20 @@ class TTSPipeline:
         transfer entirely (mel is None; same compiled program) — wav-only
         serving saves the second-largest transfer (~130 ms at B=8,
         T=1000 over the tunnel)."""
+        return self.collect(
+            self.submit(batch, p_control, e_control, d_control, rng),
+            return_mel=return_mel)
+
+    def submit(self, batch, p_control=1.0, e_control=1.0, d_control=1.0,
+               rng=None):
+        """Dispatch synthesis for one batch WITHOUT blocking on the result.
+
+        Returns an opaque pending handle whose outputs live on device;
+        pass it to :meth:`collect` to fetch.  JAX dispatch is async, so a
+        second batch can be submitted while the first computes — that is
+        how :meth:`stream` overlaps batch N's device->host transfer with
+        batch N+1's device time (the reference's loop synthesizes
+        strictly serially, `synthesize.py:106-140`)."""
         texts = np.asarray(batch["texts"])
         wb = np.asarray(batch["word_boundaries"])
         B = texts.shape[0]
@@ -187,10 +211,16 @@ class TTSPipeline:
             None if spk is None else jnp.asarray(spk),
             jnp.float32(p_control), jnp.float32(e_control),
             jnp.float32(d_control))
+        return _Pending(wav=wav, mel=mel, mel_lens=mel_lens, B=B, T=T)
 
-        wav = np.asarray(wav)[:B]  # already int16, converted on device
-        mel = np.asarray(mel)[:B].astype(np.float32) if return_mel else None
-        mel_lens = np.asarray(mel_lens)[:B]
+    def collect(self, pending, return_mel=True):
+        """Fetch a :meth:`submit` handle's outputs to the host (blocking)
+        and trim per-utterance.  Same return contract as ``__call__``."""
+        B, T = pending.B, pending.T
+        wav = np.asarray(pending.wav)[:B]  # int16, converted on device
+        mel = (np.asarray(pending.mel)[:B].astype(np.float32)
+               if return_mel else None)
+        mel_lens = np.asarray(pending.mel_lens)[:B]
         if (mel_lens >= T).any():
             import warnings
             # a legitimate prediction landing exactly on the cap is
@@ -202,3 +232,30 @@ class TTSPipeline:
                 f"max_seq_len or split the text", stacklevel=2)
         wavs = [wav[i, :int(mel_lens[i]) * self.hop_length] for i in range(B)]
         return wavs, mel, mel_lens
+
+    def stream(self, batches, p_control=1.0, e_control=1.0, d_control=1.0,
+               return_mel=False, depth=2):
+        """Double-buffered serving: yield (wavs, mel, mel_lens) for each
+        batch in `batches`, keeping up to `depth` batches in flight.
+
+        While batch N's outputs cross the device->host link (the dominant
+        cost at B=8: ~160 ms wav transfer vs ~90 ms device time), batch
+        N+1 is already dispatched and computing — on a co-located PJRT
+        runtime sustained throughput approaches max(transfer, device)
+        instead of their sum.  (On THIS environment's axon tunnel the
+        transport serializes fetches with subsequent dispatches, so
+        stream measures neutral vs sequential wav-only calls — 245.6 vs
+        246 ms/batch, see CLAUDE.md; the API contract is still the right
+        one for production serving.)  Results arrive in submission
+        order.  Each batch draws a fresh diffusion rng from the
+        pipeline's call counter, identical to calling the pipeline
+        sequentially."""
+        import collections
+        inflight = collections.deque()
+        for batch in batches:
+            inflight.append(
+                self.submit(batch, p_control, e_control, d_control))
+            if len(inflight) >= max(1, depth):
+                yield self.collect(inflight.popleft(), return_mel=return_mel)
+        while inflight:
+            yield self.collect(inflight.popleft(), return_mel=return_mel)

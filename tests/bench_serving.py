@@ -39,8 +39,9 @@ def main(B="8", variant=""):
     call_batch = dict(batch)
     call_batch["ids"] = [str(i) for i in range(B)]
 
-    return_mel = variant != "nomel"  # 'nomel': wav-only serving, skip the
-    #                                  mel device->host transfer
+    # 'nomel': wav-only serving, skip the mel device->host transfer
+    # 'stream': wav-only double-buffered submit/collect (pipeline.stream)
+    return_mel = variant not in ("nomel", "stream")
 
     # warm-up compiles the bucketed program; returned wavs ARE host data
     # (np.asarray inside __call__), so each call is its own data-fetch
@@ -51,14 +52,20 @@ def main(B="8", variant=""):
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
-        for i in range(iters):
-            wavs, _, _ = pipeline(call_batch, rng=jax.random.PRNGKey(i),
-                                  return_mel=return_mel)
+        if variant == "stream":
+            for wavs, _, _ in pipeline.stream([call_batch] * iters,
+                                              return_mel=False):
+                pass
+        else:
+            for i in range(iters):
+                wavs, _, _ = pipeline(call_batch, rng=jax.random.PRNGKey(i),
+                                      return_mel=return_mel)
         best = min(best, (time.perf_counter() - start) / iters)
     audio_s = sum(len(w) for w in wavs) / pre_cfg[
         "preprocessing"]["audio"]["sampling_rate"]
     print(f"backend={jax.default_backend()} B={B} P={P} "
-          f"bucket_T={T_bucket} return_mel={return_mel}")
+          f"bucket_T={T_bucket} return_mel={return_mel} "
+          f"variant={variant or 'call'}")
     print(f"pipeline call: {best * 1e3:8.2f} ms/batch  "
           f"({B / best:,.1f} utt/s, {best / B * 1e3:.2f} ms/utt, "
           f"{audio_s / best:,.0f}x realtime on generated audio)")

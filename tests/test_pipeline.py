@@ -106,6 +106,37 @@ def test_pipeline_return_mel_false():
         np.testing.assert_array_equal(a, b)
 
 
+def test_pipeline_stream_matches_sequential():
+    """stream() (double-buffered submit/collect) yields results identical
+    to calling the pipeline once per batch, in submission order, drawing
+    the same per-call diffusion rngs from the call counter."""
+    model = tiny_model("naive")
+    batches = [text_batch(seed=s) for s in range(3)]
+    b0 = batches[0]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "diffusion": jax.random.PRNGKey(2)},
+        speakers=b0["speakers"], texts=b0["texts"],
+        src_lens=b0["src_lens"], word_boundaries=b0["word_boundaries"],
+        src_w_lens=b0["src_w_lens"], max_mel_len=32, train=False)
+    vocoder = get_vocoder(MODEL_CONFIG, ckpt_dir="/nonexistent",
+                          num_mels=N_MELS)
+    mk = lambda: TTSPipeline(model, variables, vocoder, PREPROCESS_CONFIG,
+                             MODEL_CONFIG)
+    seq_pipe, stream_pipe = mk(), mk()
+    sequential = [seq_pipe(b) for b in batches]
+    streamed = list(stream_pipe.stream(batches, return_mel=True))
+    assert len(streamed) == len(sequential)
+    for (w1, m1, l1), (w2, m2, l2) in zip(sequential, streamed):
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(m1, m2)
+        for a, b in zip(w1, w2):
+            np.testing.assert_array_equal(a, b)
+    # wav-only streaming returns mel=None
+    wavs, mel, _ = next(iter(mk().stream(batches[:1])))
+    assert mel is None and len(wavs) == 2
+
+
 def test_pipeline_bucket_reuse():
     model = tiny_model("naive")
     batch = text_batch(P=10, W=4)
