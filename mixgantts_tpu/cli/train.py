@@ -22,7 +22,8 @@ from ..parallel import (
     shard_train_step,
 )
 from ..train import (
-    chunk_train_step, create_train_state, make_train_step, make_eval_step,
+    check_finite_metrics, chunk_train_step, create_train_state, debug_nans,
+    make_train_step, make_eval_step,
 )
 from ..train.optim import fs2_lr_schedule
 from ..utils.logging import get_writer, log, loss_message
@@ -191,6 +192,7 @@ def main(args, configs):
 
             if s % cfg_step["log_step"] == 0:
                 metrics = jax.device_get(metric_at(j))
+                check_finite_metrics(metrics, s)  # fail loudly on NaN/Inf
                 msg = loss_message(s, total_step, metrics)
                 it_s, frames_s = meter.read_and_reset()
                 print(f"{msg}  ({it_s:.2f} it/s, "
@@ -246,6 +248,10 @@ def main(args, configs):
                     epoch=state.epoch + 1,
                     lr_g=state.lr_g * gamma,
                     lr_d=state.lr_d * gamma)
+            else:
+                # aux lr is step-scheduled (Noam), but checkpoints still
+                # carry the true epoch like the reference's (train.py:267)
+                state = state.replace(epoch=state.epoch + 1)
         elif _run_segment(payload):
             return
 
@@ -357,6 +363,10 @@ def build_argparser():
                              "steps into this dir (TensorBoard profile)")
     parser.add_argument("--profile_port", type=int, default=0,
                         help="start a live jax.profiler server on this port")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans: re-run the offending "
+                             "program op-by-op to name the primitive that "
+                             "produced the first NaN (slow; for triage)")
     return parser
 
 
@@ -375,7 +385,8 @@ def cli():
     print(" ---> Path of log:", train_config["path"]["log_path"])
     print(" ---> Path of result:", train_config["path"]["result_path"])
     print("==========================================================================")
-    main(args, configs)
+    with debug_nans(getattr(args, "debug_nans", False)):
+        main(args, configs)
 
 
 if __name__ == "__main__":

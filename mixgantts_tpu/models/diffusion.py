@@ -12,6 +12,7 @@ Mel layout is [B, T, n_mels] (channel-last) everywhere; the reference's
 [B, 1, M, T] NCHW detour is dropped.
 """
 
+import functools
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -44,6 +45,10 @@ class DiffusionSchedule:
     def num_timesteps(self):
         return len(self.betas)
 
+    # memoized: the schedule is a frozen (hashable) dataclass and table()
+    # is called per _extract per traced step — recomputing the five derived
+    # coefficient tables each time is trace-time waste
+    @functools.lru_cache(maxsize=None)
     def _tables(self):
         betas = np.asarray(self.betas, dtype=np.float64)
         alphas_cumprod = np.cumprod(1.0 - betas)

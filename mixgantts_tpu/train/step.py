@@ -11,6 +11,7 @@ per step; gradient clipping and the optimizer chains live in `optim.py`.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses import (
     LossConfig, generator_loss, get_adversarial_losses_fn,
@@ -56,6 +57,25 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
     tpu_cfg = model_config.get("tpu", {}) or {}
     compute_dtype = jnp.dtype(tpu_cfg.get("compute_dtype", "float32"))
     mixed = compute_dtype != jnp.float32
+
+    # Validate the forward-reuse flags for EVERY mode up front, so a
+    # misconfigured aux run fails as loudly as a misconfigured naive one
+    # (the flags only alter the GAN step; aux has a single forward).
+    reuse_g = bool(tpu_cfg.get("reuse_g_forward", False))
+    reuse_aux = bool(tpu_cfg.get("reuse_aux_forward", False))
+    if reuse_g and reuse_aux:
+        raise ValueError(
+            "tpu.reuse_g_forward and tpu.reuse_aux_forward are mutually "
+            "exclusive (reuse_g_forward already shares the whole forward)")
+    if reuse_g and mode == "aux":
+        raise ValueError(
+            "tpu.reuse_g_forward has no effect in aux mode (aux already "
+            "runs a single forward per step); unset it")
+    if reuse_aux and mode != "shallow":
+        raise ValueError(
+            f"tpu.reuse_aux_forward only applies to shallow training "
+            f"(mode={mode!r} has no frozen aux stack to share); use "
+            f"tpu.reuse_g_forward to share the whole forward instead")
 
     def g_forward(g_params, batch_stats, batch, rngs, train=True):
         if mixed:
@@ -116,23 +136,12 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
 
     # --- GAN modes (naive / shallow) ---------------------------------------
 
-    if tpu_cfg.get("reuse_g_forward", False) and \
-            tpu_cfg.get("reuse_aux_forward", False):
-        raise ValueError(
-            "tpu.reuse_g_forward and tpu.reuse_aux_forward are mutually "
-            "exclusive (reuse_g_forward already shares the whole forward)")
-
-    if tpu_cfg.get("reuse_g_forward", False):
+    if reuse_g:
         return _make_reuse_gan_step(loss_cfg, sched, opt_gan,
                                     g_forward, d_apply,
                                     d_loss_fn, g_loss_fn)
 
-    if tpu_cfg.get("reuse_aux_forward", False):
-        if mode != "shallow":
-            raise ValueError(
-                f"tpu.reuse_aux_forward only applies to shallow training "
-                f"(mode={mode!r} has no frozen aux stack to share); use "
-                f"tpu.reuse_g_forward to share the whole forward instead")
+    if reuse_aux:
 
         def g_aux_forward(g_params, batch_stats, batch, rngs):
             if mixed:
@@ -246,9 +255,6 @@ def _make_reuse_gan_step(loss_cfg, sched, opt_gan, g_forward, d_apply,
     the cost of D and G seeing the same (t, noise) draws that step — a
     small departure from reference training semantics, hence off by
     default."""
-    import numpy as np
-
-    from ..losses import generator_loss
 
     def step_fn(state, batch):
         rng, rd, rf = jax.random.split(state.rng, 3)
@@ -346,7 +352,6 @@ def _make_shallow_reuse_aux_step(loss_cfg, sched, opt_gan, g_aux_forward,
     the reference.  The only semantic departure is that both phases see
     the same aux-stack dropout draws — strictly weaker than
     `tpu.reuse_g_forward` (which also shares the diffusion draws)."""
-    from ..losses import generator_loss
 
     def step_fn(state, batch):
         # split 5 ways like the two-forward step so the diffusion streams
@@ -420,7 +425,6 @@ def _make_shallow_reuse_aux_step(loss_cfg, sched, opt_gan, g_aux_forward,
             jax.value_and_grad(g_loss, argnums=(0, 1), has_aux=True)(
                 state.g_params, [flat[i] for i in fidx])
         fset = dict(zip(fidx, fgrads))
-        import numpy as np
         cot = [fset[i] if i in fset
                else np.zeros(np.shape(l), jax.dtypes.float0)
                for i, l in enumerate(flat)]

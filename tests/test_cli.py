@@ -229,6 +229,14 @@ def test_aux_to_shallow_handoff(workspace):
     assert ckpt_dir.endswith("_shallow")  # aux and shallow share the dir
     assert os.path.isdir(os.path.join(ckpt_dir, "4"))
 
+    # aux checkpoints carry the TRUE epoch (reference train.py:267): the
+    # 6-utt corpus yields 2 batches/epoch, so 4 steps cross >= 1 epoch
+    # boundary and the saved epoch must have advanced past its init of 1
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(os.path.join(ckpt_dir, "4")))
+    assert int(np.asarray(raw["epoch"])) >= 2
+
     # gating: restoring before total_step_aux must be refused
     bad = _args(model="shallow", dataset="TestCorpus", restore_step=2,
                 path_tag="", seed=0, data_parallel=False)

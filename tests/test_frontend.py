@@ -421,3 +421,135 @@ def test_hanzi_everyday_coverage_measured():
     print(f"[hanzi coverage] tokens={total} covered={covered} "
           f"({cov:.2%}); distinct phrase overrides fired="
           f"{len(phrase_hits)}, total firings={sum(phrase_hits.values())}")
+
+
+def _write_keras_rescnn_h5(path, seed=0, wrap_model_weights=False):
+    """Synthetic ResCNN_triplet `.h5` in the exact Keras save_weights layout
+    (one HDF5 group per layer name, weights at f[name][name]/<w>:0), with
+    the layer names of `/root/reference/deepspeaker/conv_models.py:22-140`.
+    Returns the arrays written, keyed the way the flax tree names them."""
+    import h5py
+
+    r = np.random.RandomState(seed)
+    params, stats = {}, {}
+
+    with h5py.File(path, "w") as f0:
+        f = (f0.create_group("model_weights") if wrap_model_weights else f0)
+
+        def conv(name, kh, kw, cin, cout):
+            g = f.create_group(name).create_group(name)
+            k = (r.randn(kh, kw, cin, cout) * 0.05).astype(np.float32)
+            b = (r.randn(cout) * 0.05).astype(np.float32)
+            g.create_dataset("kernel:0", data=k)
+            g.create_dataset("bias:0", data=b)
+            return {"kernel": k, "bias": b}
+
+        def bn(name, c):
+            g = f.create_group(name).create_group(name)
+            gamma = (1.0 + r.randn(c) * 0.05).astype(np.float32)
+            beta = (r.randn(c) * 0.05).astype(np.float32)
+            mean = (r.randn(c) * 0.05).astype(np.float32)
+            var = (1.0 + r.rand(c) * 0.1).astype(np.float32)
+            for key, arr in [("gamma:0", gamma), ("beta:0", beta),
+                             ("moving_mean:0", mean),
+                             ("moving_variance:0", var)]:
+                g.create_dataset(key, data=arr)
+            return ({"scale": gamma, "bias": beta},
+                    {"mean": mean, "var": var})
+
+        cin = 1
+        for stage, filters in enumerate([64, 128, 256, 512], start=1):
+            cname = f"conv{filters}-s"
+            params[cname] = conv(cname, 5, 5, cin, filters)
+            params[cname + "_bn"], stats[cname + "_bn"] = bn(
+                cname + "_bn", filters)
+            for block in range(3):
+                base = f"res{stage}_{block}_branch"
+                bp, bs = {}, {}
+                bp["conv_2a"] = conv(base + "_2a", 3, 3, filters, filters)
+                bp["bn_2a"], bs["bn_2a"] = bn(base + "_2a_bn", filters)
+                bp["conv_2b"] = conv(base + "_2b", 3, 3, filters, filters)
+                bp["bn_2b"], bs["bn_2b"] = bn(base + "_2b_bn", filters)
+                params[f"res{stage}_{block}"] = bp
+                stats[f"res{stage}_{block}"] = bs
+            cin = filters
+        # keras Dense kernels are 2-D [in, out] (flax nn.Dense layout)
+        g = f.create_group("affine").create_group("affine")
+        k = (r.randn(2048, 512) * 0.02).astype(np.float32)
+        b = (r.randn(512) * 0.02).astype(np.float32)
+        g.create_dataset("kernel:0", data=k)
+        g.create_dataset("bias:0", data=b)
+        params["affine"] = {"kernel": k, "bias": b}
+    return params, stats
+
+
+def test_convert_keras_weights_roundtrip(tmp_path):
+    """`convert_keras_weights` vs a synthetic `.h5` whose every array we
+    know:
+    every converted leaf must be the exact array written under the
+    corresponding Keras layer name (catches name-mapping/transpose bugs),
+    and the tree must match `DeepSpeakerResCNN.init`'s structure."""
+    import jax
+    from mixgantts_tpu.models.speaker_embedder import (
+        DeepSpeakerResCNN, NUM_FBANKS, NUM_FRAMES, convert_keras_weights,
+    )
+
+    h5 = str(tmp_path / "ResCNN_triplet_synthetic.h5")
+    want_p, want_s = _write_keras_rescnn_h5(h5)
+    got_p, got_s = convert_keras_weights(h5)
+
+    def flat(tree):
+        return {jax.tree_util.keystr(kp): leaf for kp, leaf
+                in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    fp, fs = flat(want_p), flat(want_s)
+    gp, gs = flat(got_p), flat(got_s)
+    assert sorted(fp) == sorted(gp) and sorted(fs) == sorted(gs)
+    for k in fp:
+        np.testing.assert_array_equal(fp[k], gp[k], err_msg=k)
+    for k in fs:
+        np.testing.assert_array_equal(fs[k], gs[k], err_msg=k)
+
+    # converted tree drops into the flax module: structure + shapes match
+    # init exactly, and the loaded forward runs
+    module = DeepSpeakerResCNN()
+    x0 = np.zeros((1, NUM_FRAMES, NUM_FBANKS, 1), np.float32)
+    init_vars = jax.device_get(module.init(jax.random.PRNGKey(0), x0))
+    ip = flat(init_vars["params"])
+    istats = flat(init_vars["batch_stats"])
+    assert sorted(ip) == sorted(gp)
+    assert sorted(istats) == sorted(gs)
+    for k in ip:
+        assert np.shape(ip[k]) == np.shape(gp[k]), k
+
+    # the pretrained-path branch of PreDefinedEmbedder loads the file and
+    # produces an L2-normalized embedding with the loaded weights
+    from mixgantts_tpu.models.speaker_embedder import PreDefinedEmbedder
+    emb = PreDefinedEmbedder({"preprocessing": {
+        "audio": {"sampling_rate": 22050},
+        "stft": {"win_length": 1024},
+        "speaker_embedder": "DeepSpeaker"}}, ckpt_path=h5)
+    loaded = flat(jax.device_get(emb.variables["params"]))
+    np.testing.assert_array_equal(
+        loaded["['affine']['kernel']"], want_p["affine"]["kernel"])
+    wav = np.random.RandomState(1).randn(22050).astype(np.float32) * 0.1
+    out = np.asarray(emb(wav))
+    assert out.shape == (1, 512)
+    assert np.isfinite(out).all()
+    assert abs(np.linalg.norm(out) - 1.0) < 1e-3
+
+
+def test_convert_keras_weights_model_weights_wrapper(tmp_path):
+    """model.save()-style files nest layers under a `model_weights` group;
+    the converter must unwrap it to the same tree."""
+    from mixgantts_tpu.models.speaker_embedder import convert_keras_weights
+
+    h5 = str(tmp_path / "wrapped.h5")
+    want_p, _ = _write_keras_rescnn_h5(h5, seed=3, wrap_model_weights=True)
+    got_p, _ = convert_keras_weights(h5)
+    np.testing.assert_array_equal(got_p["conv64-s"]["kernel"],
+                                  want_p["conv64-s"]["kernel"])
+    np.testing.assert_array_equal(got_p["res3_1"]["conv_2b"]["bias"],
+                                  want_p["res3_1"]["conv_2b"]["bias"])
+    np.testing.assert_array_equal(got_p["affine"]["kernel"],
+                                  want_p["affine"]["kernel"])

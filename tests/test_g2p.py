@@ -2,10 +2,13 @@
 
 HELDOUT below is a 213-entry CMUdict-style evaluation set that was NOT
 consulted while writing the rules in `mixgantts_tpu/text/lts.py` (a
-separate dev list was used for tuning).  The bar matches the reference's
-capability claim for its g2p_en fallback (`synthesize.py:52-60`) scaled to
-a rule system: >= 75% phoneme accuracy (stress digits ignored,
-edit-distance aligned), plus basic stress/shape sanity checks.
+separate dev list was used for tuning; round-4 rule-family fixes were
+additionally guarded by a common-word regression set of CMUdict
+pronunciations).  The bar matches the reference's capability claim for its
+g2p_en fallback (`synthesize.py:52-60`) scaled to a rule system, with the
+floors ratcheted close to measured accuracy so silent regressions fail:
+measured 95.8% phoneme (floor 92%), 80.8% exact-word (floor 70%), 98.1%
+primary-stress position (floor 90%).
 """
 
 import re
@@ -255,18 +258,40 @@ def test_heldout_phoneme_accuracy():
         errors += _edit_distance(got, ref_phones)
         total += len(ref_phones)
     accuracy = 1.0 - errors / total
-    assert accuracy >= 0.75, (
-        f"held-out G2P phoneme accuracy {accuracy:.3f} < 0.75 "
-        f"({errors}/{total} errors)")
+    assert accuracy >= 0.92, (
+        f"held-out G2P phoneme accuracy {accuracy:.3f} < 0.92 "
+        f"({errors}/{total} errors; measured 0.958 at the floor's setting)")
 
 
 def test_exact_word_rate_floor():
-    """A weaker whole-word bar: at least 35% of held-out words must come
-    out perfectly (stress-insensitive)."""
+    """Whole-word bar: at least 70% of held-out words must come out
+    perfectly (stress-insensitive; measured 0.808)."""
     exact = sum(
         _strip_stress(letter_to_sound(w)) == _strip_stress(ref.split())
         for w, ref in HELDOUT.items())
-    assert exact / len(HELDOUT) >= 0.35, exact
+    assert exact / len(HELDOUT) >= 0.70, exact
+
+
+def _primary_stress_index(phones):
+    """Index of the primary-stressed vowel among the vowel phones."""
+    vowels = [p for p in phones if p[-1].isdigit()]
+    for i, p in enumerate(vowels):
+        if p.endswith("1"):
+            return i
+    return None
+
+
+def test_stress_position_accuracy():
+    """Primary-stress placement vs CMUdict: the held-out words' stressed
+    syllable index must match >= 90% of the time (measured 0.981 —
+    `assign_stress`'s first-syllable heuristic fits the 2-syllable nouns
+    that dominate OOV traffic; the floor catches a regression to e.g.
+    last-syllable or no-stress output)."""
+    ok = sum(
+        _primary_stress_index(letter_to_sound(w))
+        == _primary_stress_index(ref.split())
+        for w, ref in HELDOUT.items())
+    assert ok / len(HELDOUT) >= 0.90, ok / len(HELDOUT)
 
 
 def test_stress_marking_shape():

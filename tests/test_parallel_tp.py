@@ -123,3 +123,46 @@ def test_indivisible_dims_stay_replicated():
 
     jax.tree_util.tree_map_with_path(
         lambda p, s, x: check(p, s, x), specs, state)
+
+
+@pytest.mark.parametrize("mode", ["naive", "aux"])
+def test_tp_weights_match_with_sgd(monkeypatch, mode):
+    """Deterministic-optimizer parity (VERDICT r3 #7): with plain SGD
+    substituted for Adam/Noam, weight updates are LINEAR in the gradients,
+    so cross-device reduction-order noise cannot be amplified into Adam
+    sign flips — the dp2 x tp4 sharded step must match the single-device
+    step's weights to float tolerance (vs the 2*(lr1+lr2) envelope the
+    Adam-path test needs)."""
+    import optax
+
+    sgd_gan = lambda *a, **k: optax.scale(-1.0)   # apply_lr scales by lr
+    sgd_fs2 = lambda *a, **k: optax.scale(-1e-3)
+    for modname in ("mixgantts_tpu.train.step", "mixgantts_tpu.train.state"):
+        monkeypatch.setattr(modname + ".build_gan_optimizer", sgd_gan)
+        monkeypatch.setattr(modname + ".build_fs2_optimizer", sgd_fs2)
+
+    from test_train_step import MODEL_CONFIG
+
+    model, disc, state, step_fn_jit, batch, tc = setup(mode)
+    ref_state, _ = step_fn_jit(state, batch)
+    ref_state, _ = step_fn_jit(ref_state, batch)
+
+    mesh = _dp_tp_mesh(model_axis=4)  # 2 data x 4 model
+    specs = partition_specs(state, mesh)
+    state2 = setup(mode)[2]
+    with mesh:
+        sharded = shard_state(mesh, state2, specs)
+        step = shard_train_step(
+            make_train_step(mode, model, disc, MODEL_CONFIG, tc),
+            mesh, state_specs=specs)
+        device_batch = shard_batch(mesh, batch)
+        sharded, _ = step(sharded, device_batch)
+        sharded, _ = step(sharded, device_batch)
+
+    for params_of in (lambda s: s.g_params, lambda s: s.d_params):
+        ref_leaves = jax.tree_util.tree_leaves(params_of(ref_state))
+        tp_leaves = jax.tree_util.tree_leaves(
+            jax.device_get(params_of(sharded)))
+        for r, t in zip(ref_leaves, tp_leaves):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(t),
+                                       rtol=1e-4, atol=1e-6)

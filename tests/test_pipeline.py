@@ -133,8 +133,20 @@ def test_pipeline_stream_matches_sequential():
         for a, b in zip(w1, w2):
             np.testing.assert_array_equal(a, b)
     # wav-only streaming returns mel=None
-    wavs, mel, _ = next(iter(mk().stream(batches[:1])))
+    wavs, mel, _ = next(iter(mk().stream(batches[:1], return_mel=False)))
     assert mel is None and len(wavs) == 2
+    # explicit per-batch rngs override the call counter: a WARMED pipeline
+    # streaming with the sequential pipeline's keys reproduces its draws
+    warm = mk()
+    warm(batches[0])  # advance the call counter
+    keyed = list(warm.stream(batches, return_mel=True,
+                             rngs=[jax.random.PRNGKey(i)
+                                   for i in range(len(batches))]))
+    for (w1, m1, l1), (w2, m2, l2) in zip(sequential, keyed):
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(m1, m2)
+        for a, b in zip(w1, w2):
+            np.testing.assert_array_equal(a, b)
 
 
 def test_pipeline_bucket_reuse():

@@ -358,3 +358,57 @@ def test_mixed_precision_train_step():
         lambda a, b: float(jnp.abs(a - b).max()),
         state.g_params, new_state.g_params)
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+
+def test_reuse_flags_rejected_in_aux_mode():
+    """Misconfigured aux runs fail loudly: the reuse flags only alter the
+    GAN step, so setting them in aux mode is a config error, not a no-op."""
+    import copy
+    tc = copy.deepcopy(TRAIN_CONFIG)
+    model = tiny_model("aux")
+    disc = tiny_disc()
+    for flag in ("reuse_g_forward", "reuse_aux_forward"):
+        mc = copy.deepcopy(MODEL_CONFIG)
+        mc["tpu"] = {flag: True}
+        with pytest.raises(ValueError, match=flag):
+            make_train_step("aux", model, disc, mc, tc)
+
+
+def test_check_finite_metrics_guard():
+    """SURVEY §5 sanitizer: the host-side guard the train CLI runs at every
+    log step names the offending step and metric keys."""
+    from mixgantts_tpu.train import check_finite_metrics
+
+    check_finite_metrics({"G_loss": np.float32(1.0), "step": np.int32(3),
+                          "D_loss": 0.25}, step=10)  # all finite: no raise
+    with pytest.raises(FloatingPointError, match=r"step 7.*G_loss"):
+        check_finite_metrics({"G_loss": np.float32("nan"), "ok": 1.0}, 7)
+    with pytest.raises(FloatingPointError, match="D_loss"):
+        check_finite_metrics({"D_loss": np.inf, "ok": 1.0}, 3)
+
+
+def test_nan_batch_fails_loudly():
+    """A poisoned batch propagates NaN into the losses and the guard
+    raises instead of letting the run burn its budget silently."""
+    from mixgantts_tpu.train import check_finite_metrics
+
+    model, disc, state, step_fn, batch, tc = setup("naive")
+    bad = dict(batch)
+    mels = np.asarray(bad["mels"]).copy()
+    mels[0, 0, 0] = np.nan
+    bad["mels"] = mels
+    _, metrics = step_fn(state, bad)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        check_finite_metrics(jax.device_get(metrics), step=1)
+
+
+def test_debug_nans_context():
+    """`--debug_nans` / CI variant: jax names the producing primitive and
+    the config is restored afterwards."""
+    from mixgantts_tpu.train import debug_nans
+
+    assert not jax.config.jax_debug_nans
+    with debug_nans():
+        with pytest.raises(FloatingPointError):
+            np.asarray(jax.jit(jnp.log)(jnp.float32(-1.0)))
+    assert not jax.config.jax_debug_nans

@@ -1,0 +1,212 @@
+"""Long-horizon GAN training stability drive (VERDICT r3 #1).
+
+The reference's implicit capability is that its aux -> shallow schedule
+converges (`/root/reference/train.py:22-279`; its only recorded evidence is
+TensorBoard screenshots, README.md:120-135).  This script produces the
+equivalent evidence for the TPU rebuild: it drives the REAL CLIs
+(train.py aux ~1.5k steps, then shallow ~1k steps from the aux checkpoint,
+then synthesize.py) on a 24-utterance synthetic corpus on the real chip,
+parses the reference-format train logs, and asserts
+
+  * every logged metric is finite at every log step (the train CLI's
+    check_finite_metrics guard would abort the run otherwise),
+  * the aux recon losses trend DOWN: final-window mel+postnet loss
+    <= 1/2 of the early-window average,
+  * the shallow GAN phase stays in sane LSGAN bands (D_loss and adv_loss
+    bounded, no collapse to 0 or blow-up) and its mel loss does not
+    diverge,
+  * the final synthesized waveform is non-silent, finite, and spreads
+    energy beyond DC.
+
+Writes the loss trajectories + verdicts to docs/horizon_r04.json (the
+artifact the repo commits the way the reference commits TB screenshots).
+
+Run:  python tests/train_horizon.py          (~10-20 min: 2 TPU compiles
+      dominate; device time for 2.5k tiny-model steps is seconds)
+Only one TPU process may run at a time — do not run concurrently with
+bench.py or other TPU tests.
+"""
+
+import copy
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+WS = "/tmp/horizon_ws"
+AUX_STEPS = 1500
+SHALLOW_STEPS = 1000
+LOG_STEP = 25
+
+LINE = re.compile(
+    r"Step (\d+)/\d+, Total Loss: ([-\d.na]+), D_loss: ([-\d.na]+), "
+    r"adv_loss: ([-\d.na]+), mel_loss: ([-\d.na]+), "
+    r"postnet_loss: ([-\d.na]+), pitch_loss: ([-\d.na]+), "
+    r"energy_loss: ([-\d.na]+), duration_loss: ([-\d.na]+), "
+    r"helper_loss:([-\d.na]+)")
+KEYS = ["step", "total", "D", "adv", "mel", "postnet", "pitch", "energy",
+        "duration", "helper"]
+
+
+def build_workspace():
+    import yaml
+    from test_data_pipeline import make_corpus, PREPROCESS_CONFIG
+    from test_cli import TINY_MODEL_YAML, TINY_TRAIN_YAML
+
+    shutil.rmtree(WS, ignore_errors=True)
+    os.makedirs(WS)
+    make_corpus(WS, n_utts=24)
+    pre = copy.deepcopy(PREPROCESS_CONFIG)
+    pre["dataset"] = "TestCorpus"
+    pre["path"] = {"corpus_path": WS,
+                   "lexicon_path": f"{WS}/lexicon.txt",
+                   "raw_path": f"{WS}/raw_data",
+                   "preprocessed_path": f"{WS}/preprocessed"}
+    with open(pre["path"]["lexicon_path"], "w") as f:
+        f.write("hello HH AH0 L OW1\nworld W ER1 L D\n")
+    model = copy.deepcopy(TINY_MODEL_YAML)
+    model["tpu"]["steps_per_call"] = 8
+    train = copy.deepcopy(TINY_TRAIN_YAML)
+    train["path"] = {k: f"{WS}/output/{k[:-5]}/TestCorpus"
+                     for k in ("ckpt_path", "log_path", "result_path")}
+    train["step"] = {
+        "total_step_aux": AUX_STEPS, "total_step_naive": AUX_STEPS,
+        "total_step_shallow": AUX_STEPS + SHALLOW_STEPS,
+        "log_step": LOG_STEP, "synth_step": 10 ** 9, "val_step": 10 ** 9,
+        "save_step": 500,
+    }
+    cfg = f"{WS}/config/TestCorpus"
+    os.makedirs(cfg, exist_ok=True)
+    import yaml as _y
+    for n, c in [("preprocess.yaml", pre), ("model.yaml", model),
+                 ("train.yaml", train)]:
+        with open(f"{cfg}/{n}", "w") as f:
+            _y.dump(c, f)
+
+
+def run(cmd, log_name):
+    log = os.path.join(WS, log_name)
+    with open(log, "w") as f:
+        p = subprocess.run([sys.executable, "-u"] + cmd, cwd=WS, stdout=f,
+                           stderr=subprocess.STDOUT, timeout=3600)
+    if p.returncode != 0:
+        print(open(log).read()[-4000:])
+        raise SystemExit(f"{cmd} failed (rc={p.returncode}); see {log}")
+    return log
+
+
+def parse_log(mode):
+    path = f"{WS}/output/log/TestCorpus_{mode}/train/log.txt"
+    rows = []
+    with open(path) as f:
+        for line in f:
+            m = LINE.match(line.strip())
+            if m:
+                rows.append({k: float(g) for k, g in zip(KEYS, m.groups())})
+    return rows
+
+
+def window_mean(rows, key, lo, hi):
+    vals = [r[key] for r in rows if lo <= r["step"] <= hi]
+    return float(np.mean(vals)) if vals else float("nan")
+
+
+def main():
+    build_workspace()
+    print("== preprocess ==")
+    run([f"{REPO}/preprocess.py", "--dataset", "TestCorpus"], "pre.log")
+
+    print(f"== aux {AUX_STEPS} steps (first TPU compile ~5 min) ==")
+    run([f"{REPO}/train.py", "--model", "aux", "--dataset", "TestCorpus"],
+        "aux.log")
+    aux = parse_log("shallow")  # aux shares the *_shallow dir
+    assert aux and aux[-1]["step"] == AUX_STEPS, (len(aux), aux[-1:])
+    for r in aux:
+        assert all(np.isfinite(v) for v in r.values()), r
+
+    early = (window_mean(aux, "mel", 1, 4 * LOG_STEP)
+             + window_mean(aux, "postnet", 1, 4 * LOG_STEP))
+    late = (window_mean(aux, "mel", AUX_STEPS - 4 * LOG_STEP, AUX_STEPS)
+            + window_mean(aux, "postnet", AUX_STEPS - 4 * LOG_STEP,
+                          AUX_STEPS))
+    aux_factor = early / late
+    print(f"aux mel+postnet: early {early:.4f} -> late {late:.4f} "
+          f"({aux_factor:.2f}x)")
+    assert aux_factor >= 2.0, (
+        f"aux recon loss only improved {aux_factor:.2f}x (< 2x)")
+
+    print(f"== shallow {SHALLOW_STEPS} steps from aux ckpt ==")
+    run([f"{REPO}/train.py", "--model", "shallow", "--dataset", "TestCorpus",
+         "--restore_step", str(AUX_STEPS)], "shallow.log")
+    sh = [r for r in parse_log("shallow") if r["step"] > AUX_STEPS]
+    assert sh and sh[-1]["step"] == AUX_STEPS + SHALLOW_STEPS
+    for r in sh:
+        assert all(np.isfinite(v) for v in r.values()), r
+    d_vals = [r["D"] for r in sh]
+    adv_vals = [r["adv"] for r in sh]
+    # LSGAN sanity bands: neither player collapses (D at 0 = D gave up;
+    # adv stuck at ~1 with D at 0.5 forever = G gave up) nor blows up
+    assert 0.0 < float(np.mean(d_vals)) < 2.0, np.mean(d_vals)
+    assert 0.0 < float(np.mean(adv_vals)) < 4.0, np.mean(adv_vals)
+    assert max(d_vals) < 10 and max(adv_vals) < 10, (max(d_vals),
+                                                     max(adv_vals))
+    sh_mel_early = window_mean(sh, "mel", AUX_STEPS,
+                               AUX_STEPS + 4 * LOG_STEP)
+    sh_mel_late = window_mean(sh, "mel",
+                              AUX_STEPS + SHALLOW_STEPS - 4 * LOG_STEP,
+                              AUX_STEPS + SHALLOW_STEPS)
+    print(f"shallow mel: {sh_mel_early:.4f} -> {sh_mel_late:.4f}; "
+          f"D {np.mean(d_vals):.3f}, adv {np.mean(adv_vals):.3f}")
+    assert sh_mel_late < 2.0 * sh_mel_early + 0.1, "shallow mel diverged"
+
+    print("== synthesize from the final shallow checkpoint ==")
+    run([f"{REPO}/synthesize.py", "--restore_step",
+         str(AUX_STEPS + SHALLOW_STEPS), "--model", "shallow", "--mode",
+         "single", "--text", "hello world", "--dataset", "TestCorpus"],
+        "synth.log")
+    rdir = f"{WS}/output/result/TestCorpus_shallow/{AUX_STEPS + SHALLOW_STEPS}"
+    wavs = [f for f in os.listdir(rdir) if f.endswith(".wav")]
+    assert wavs, os.listdir(rdir)
+    import wave
+    with wave.open(os.path.join(rdir, wavs[0])) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    pcm_f = pcm.astype(np.float32) / 32768.0
+    assert len(pcm_f) > 1000, len(pcm_f)
+    assert np.isfinite(pcm_f).all()
+    assert float(np.std(pcm_f)) > 1e-4, "synthesized audio is silent"
+    spec = np.abs(np.fft.rfft(pcm_f))
+    spread = float((spec[1:] ** 2).sum() / (spec ** 2).sum())
+    assert spread > 0.9, f"energy collapsed to DC ({spread})"
+    print(f"wav: {len(pcm_f)} samples, std {np.std(pcm_f):.4f}, "
+          f"non-DC energy {spread:.4f}")
+
+    artifact = {
+        "corpus": "synthetic-24utt", "aux_steps": AUX_STEPS,
+        "shallow_steps": SHALLOW_STEPS, "log_step": LOG_STEP,
+        "aux_mel_postnet_early": early, "aux_mel_postnet_late": late,
+        "aux_improvement_factor": aux_factor,
+        "shallow_mel_early": sh_mel_early, "shallow_mel_late": sh_mel_late,
+        "shallow_D_mean": float(np.mean(d_vals)),
+        "shallow_adv_mean": float(np.mean(adv_vals)),
+        "wav_samples": int(len(pcm_f)), "wav_std": float(np.std(pcm_f)),
+        "wav_nondc_energy": spread,
+        "aux_trajectory": aux, "shallow_trajectory": sh,
+        "all_metrics_finite": True,
+    }
+    out = os.path.join(REPO, "docs", "horizon_r04.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"PASS — artifact written to {out}")
+
+
+if __name__ == "__main__":
+    main()
