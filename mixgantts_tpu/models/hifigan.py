@@ -22,9 +22,17 @@ from flax import linen as nn
 LRELU_SLOPE = 0.1
 
 
-def subpixel_upsample(x, kernel, bias, u, k):
+def subpixel_upsample(x, kernel, bias, u, k, depth_to_space=True):
     """ConvTranspose1d(stride=u, kernel=k, VALID, crop (k-u)//2) as a dense
     stride-1 conv + depth-to-space.
+
+    depth_to_space=False returns the PRE-interleave tensor [B, T, u*C_out]
+    (lane r*C_out + c = output frame t*u + r, channel c) with the bias
+    already added.  That layout is exactly the time-folded layout the
+    fused MRF kernel consumes (`ops/pallas_vocoder.mrf_stack_folded` with
+    prefolded=True), so the folded stages skip the audio-rate interleave
+    copy entirely — `y.reshape(B, T*u, C_out)` of it equals the
+    depth_to_space=True output bit-for-bit.
 
     Mathematically identical (same multiply-adds, reordered): on TPU,
     XLA lowers strided transposed convs to zero-stuffing `pad` ops that
@@ -62,6 +70,8 @@ def subpixel_upsample(x, kernel, bias, u, k):
         x, dense, window_strides=(1,), padding=[(j_max, -j_min)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32)
+    if not depth_to_space:
+        return (y + jnp.tile(bias, u)).astype(x.dtype)
     y = y.reshape(B, T * u, c_out) + bias
     return y.astype(x.dtype)
 
@@ -159,7 +169,8 @@ class HiFiGANGenerator(nn.Module):
         )
 
 
-def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
+def fused_apply(params, mel, config, interpret=None, compute_dtype=None,
+                fold_channels=(32, 64)):
     """Pure-function HiFi-GAN forward with the Pallas-fused MRF stack
     (`ops/pallas_vocoder.mrf_stack`): each stage's 18 resblock convs and
     leaky_relus run in one kernel with the signal tile resident in VMEM,
@@ -171,7 +182,18 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
     activation dtype of the XLA portions (upsample convs, C > 128 MRF
     stage, conv_post); conv accumulation stays fp32.  The audio path is
     bandwidth-bound, so bf16 activations are a ~2x bandwidth saving;
-    waveform SNR vs the fp32 path is validated in test_vocoder.py."""
+    waveform SNR vs the fp32 path is validated in test_vocoder.py.
+
+    fold_channels: stage widths to run TIME-FOLDED with the upsample's
+    depth-to-space fused away (the sub-pixel pre-interleave output IS the
+    folded layout — see subpixel_upsample / mrf_stack_folded).  Default
+    (32, 64): measured on-chip WITH the preceding upsample (u=2, k=4,
+    `bench_mrf_stage.py fused_upsample`) the folds win 1.96x at C=32 and
+    1.06x at C=64 (full pipeline RTF 0.001145 -> 0.001118).  The
+    prefused fold and fold-after-d2s measure identical (+-1%): XLA's
+    d2s here is contiguous reshapes around the bias add, already free —
+    the prefused path simply states that fact in the graph (numbers in
+    CLAUDE.md)."""
     from ..ops.pallas_vocoder import (
         mrf_stack, mrf_stack_folded, stack_mrf_params,
         stack_mrf_params_folded,
@@ -223,14 +245,25 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None):
     for i, (u, k) in enumerate(zip(rates, kernels)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         p = params[f"ups_{i}"]
+        C = p["kernel"].shape[1]  # [k, C_out, C_in]
+        T_in = x.shape[1]
+        F = 128 // C if (C < 128 and 128 % C == 0) else 0
+        if F and C in fold_channels and (T_in * u) % F == 0:
+            # narrow stages waste (128 - C)/128 of every lane: fold F
+            # time positions into the lane axis.  The upsample's
+            # pre-interleave output [B, T_in, u*C] already IS the folded
+            # layout (lane r*C + c = frame t*u + r), so the fold — and
+            # the upsample's audio-rate depth-to-space copy — is free:
+            # the regroup below is a contiguous reshape for any u/F.
+            y = subpixel_upsample(x, p["kernel"], p["bias"], u, k,
+                                  depth_to_space=False)
+            xf = y.reshape(y.shape[0], T_in * u // F, F * C)
+            st = stack_mrf_params_folded(params, i, F, rks, dils[0])
+            x = mrf_stack_folded(xf, st, rks, dils[0], interpret=interpret,
+                                 prefolded=True)
+            continue
         x = subpixel_upsample(x, p["kernel"], p["bias"], u, k)
-        C = x.shape[-1]
-        if C <= 32 and 128 % C == 0:
-            # narrow stages waste (128 - C)/128 of every lane: fold
-            # 128//C time positions into the lane axis instead
-            st = stack_mrf_params_folded(params, i, 128 // C, rks, dils[0])
-            x = mrf_stack_folded(x, st, rks, dils[0], interpret=interpret)
-        elif C <= 128:
+        if C <= 128:
             stacked = stack_mrf_params(params, i, rks, dils[0])
             x = mrf_stack(x, stacked, rks, dils[0], interpret=interpret)
         else:

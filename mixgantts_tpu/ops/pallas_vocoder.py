@@ -301,13 +301,27 @@ def _kernel_folded(T, tile, kernel_sizes, dilations, F, halo_r, x_ref,
 
 
 def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
-                     dilations=(1, 3, 5), tile=None, interpret=None):
+                     dilations=(1, 3, 5), tile=None, interpret=None,
+                     prefolded=False):
     """Time-folded MRF stack for C < 128: numerically identical (fp32
-    tolerance) to `mrf_stack` / the flax ResBlock1 stack."""
+    tolerance) to `mrf_stack` / the flax ResBlock1 stack.
+
+    prefolded=True takes x ALREADY in the folded layout [B, T//F, F*C]
+    (x_folded[b, i, f*C + c] == x_time[b, F*i + f, c]) and skips the
+    host-side fold reshape.  The sub-pixel upsample's pre-interleave
+    output (`models/hifigan.subpixel_upsample(depth_to_space=False)`,
+    reinterpreted [B, T_in, u*C] -> [B, T//F, F*C] — a contiguous
+    reshape for any u/F) is exactly this layout, so the upsample's
+    audio-rate depth-to-space copy is fused away."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     F = stacked["fold"]
-    B, T, C = x.shape
+    if prefolded:
+        B, R, Cf_in = x.shape
+        T, C = R * F, Cf_in // F
+        assert Cf_in == F * C
+    else:
+        B, T, C = x.shape
     Cf = F * C
     w1, w2 = stacked["w1"], stacked["w2"]
     if not interpret:
@@ -328,7 +342,11 @@ def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
     b1 = stacked["b1"][:, :, None, :]  # [3, 3, 1, Cf]
     b2 = stacked["b2"][:, :, None, :]
 
-    xf = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))).reshape(B, Tp // F, Cf)
+    if prefolded:
+        xf = jnp.pad(x, ((0, 0), (0, (Tp - T) // F), (0, 0)))
+    else:
+        xf = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))).reshape(
+            B, Tp // F, Cf)
     xf = jnp.pad(xf, ((0, 0), (halo_r, halo_r), (0, 0)))
     gather = (np.arange(n_t)[:, None] * rows
               + np.arange(rows_h)[None, :])

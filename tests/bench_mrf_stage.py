@@ -71,8 +71,77 @@ def main(stages=((32, 221184), (64, 110592), (128, 55296))):
         print(line)
 
 
+def main_fused_upsample(stages=((32, 221184), (64, 110592))):
+    """Whole-stage comparison INCLUDING the preceding sub-pixel upsample
+    (u=2, k=4 like the real ups_2/ups_3): taps-in-K with depth-to-space
+    vs folded with the fold fused into the upsample's pre-interleave
+    output (prefolded=True, no audio-rate d2s copy)."""
+    from mixgantts_tpu.models.hifigan import subpixel_upsample
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, mrf_stack_folded, stack_mrf_params,
+        stack_mrf_params_folded,
+    )
+
+    print(f"backend={jax.default_backend()}  (upsample u=2 k=4 included)")
+    for C, T in stages:
+        u, k = 2, 4
+        r = np.random.RandomState(0)
+        x_in = jnp.asarray(r.randn(1, T // u, 2 * C), jnp.float32)
+        kernel = jnp.asarray(r.randn(k, C, 2 * C) * 0.05, jnp.float32)
+        bias = jnp.asarray(r.randn(C) * 0.05, jnp.float32)
+
+        params = _stage_params(C)
+        st = stack_mrf_params(params, 0)
+        F = 128 // C
+        stf = stack_mrf_params_folded(params, 0, F)
+
+        def taps_in_k(a):
+            y = subpixel_upsample(a, kernel, bias, u, k)
+            return mrf_stack(y, st)
+
+        def fold_after_d2s(a):
+            y = subpixel_upsample(a, kernel, bias, u, k)
+            return mrf_stack_folded(y, stf)
+
+        def prefused(a):
+            y = subpixel_upsample(a, kernel, bias, u, k,
+                                  depth_to_space=False)
+            xf = y.reshape(y.shape[0], y.shape[1] * u // F, F * C)
+            return mrf_stack_folded(xf, stf, prefolded=True)
+
+        t_a = bench(jax.jit(taps_in_k), x_in)
+        t_b = bench(jax.jit(fold_after_d2s), x_in)
+        t_c = bench(jax.jit(prefused), x_in)
+        print(f"C={C:4d} T={T:7d}  taps-in-K+d2s {t_a * 1e3:7.3f} ms   "
+              f"folded+d2s {t_b * 1e3:7.3f} ms ({t_a / t_b:.2f}x)   "
+              f"prefused {t_c * 1e3:7.3f} ms ({t_a / t_c:.2f}x)")
+
+
+def _stage_params(C):
+    from flax import linen
+    from mixgantts_tpu.models.hifigan import ResBlock1
+
+    class Stage(linen.Module):
+        C: int
+
+        @linen.compact
+        def __call__(self, x):
+            acc = None
+            for j, rk in enumerate((3, 7, 11)):
+                y = ResBlock1(self.C, rk, (1, 3, 5),
+                              name=f"resblocks_0_{j}")(x)
+                acc = y if acc is None else acc + y
+            return acc / 3
+
+    import numpy as _np
+    x0 = jnp.asarray(_np.random.RandomState(1).randn(1, 256, C), jnp.float32)
+    return Stage(C).init(jax.random.PRNGKey(0), x0)["params"]
+
+
 if __name__ == "__main__":
-    if len(sys.argv) == 3:
+    if len(sys.argv) > 1 and sys.argv[1] == "fused_upsample":
+        main_fused_upsample()
+    elif len(sys.argv) == 3:
         main([(int(sys.argv[1]), int(sys.argv[2]))])
     else:
         main()

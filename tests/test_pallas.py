@@ -267,3 +267,79 @@ def test_mrf_stack_taps_in_k_at_c128_boundary():
     got = mrf_stack(x, st, (3,), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mrf_stack_prefolded_matches_flax():
+    """prefolded=True consumes x already in folded layout
+    (x_folded[b, i, f*C + c] == x[b, F*i + f, c]) and must equal both the
+    fold-inside path and the flax stack."""
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack_folded, stack_mrf_params_folded,
+    )
+
+    C, T, B = 16, 96, 2
+    x = jnp.asarray(np.random.RandomState(6).randn(B, T, C), jnp.float32)
+    stage = _mrf_stage(C)
+    params = stage.init(jax.random.PRNGKey(6), x)["params"]
+    want = stage.apply({"params": params}, x)
+    for fold in (2, 4):
+        st = stack_mrf_params_folded(params, 0, fold)
+        xf = x.reshape(B, T // fold, fold * C)  # contiguous == folded
+        got = mrf_stack_folded(xf, st, interpret=True, prefolded=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"fold={fold}")
+        # and across tile seams
+        got2 = mrf_stack_folded(xf, st, tile=32, interpret=True,
+                                prefolded=True)
+        np.testing.assert_allclose(
+            np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"fold={fold} tiled")
+
+
+def test_subpixel_dense_output_is_folded_layout():
+    """subpixel_upsample(depth_to_space=False) returns the pre-interleave
+    tensor whose contiguous reshape equals the normal output — i.e. the
+    folded layout the prefolded MRF kernel consumes."""
+    from mixgantts_tpu.models.hifigan import subpixel_upsample
+
+    r = np.random.RandomState(7)
+    B, T, Cin, Cout, u, k = 2, 20, 12, 8, 2, 4
+    x = jnp.asarray(r.randn(B, T, Cin), jnp.float32)
+    kernel = jnp.asarray(r.randn(k, Cout, Cin), jnp.float32)
+    bias = jnp.asarray(r.randn(Cout), jnp.float32)
+    want = subpixel_upsample(x, kernel, bias, u, k)
+    dense = subpixel_upsample(x, kernel, bias, u, k, depth_to_space=False)
+    assert dense.shape == (B, T, u * Cout)
+    np.testing.assert_allclose(
+        np.asarray(dense.reshape(B, T * u, Cout)), np.asarray(want),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_fused_apply_fold_channels_equivalence():
+    """fused_apply with the prefused fold enabled on a stage must match
+    the plain flax generator (interpret mode, fp32)."""
+    from mixgantts_tpu.models.hifigan import (
+        HiFiGANGenerator, fused_apply,
+    )
+
+    config = {"num_mels": 8, "upsample_rates": [4, 2],
+              "upsample_kernel_sizes": [8, 4],
+              "upsample_initial_channel": 64,
+              "resblock_kernel_sizes": [3, 7, 11],
+              "resblock_dilation_sizes": [[1, 3, 5]] * 3}
+    gen = HiFiGANGenerator.from_config(config)
+    mel = jnp.asarray(np.random.RandomState(8).randn(1, 24, 8), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(8), mel)["params"]
+    want = gen.apply({"params": params}, mel)
+    # stages are C=32 (F=4) then C=16 (F=8): fold both via the prefused
+    # path and compare against the flax stack
+    got = fused_apply(params, mel, config, interpret=True,
+                      compute_dtype=jnp.float32, fold_channels=(16, 32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # and with folding disabled (taps-in-K for both stages)
+    got2 = fused_apply(params, mel, config, interpret=True,
+                       compute_dtype=jnp.float32, fold_channels=())
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
