@@ -162,7 +162,6 @@ def main(args, configs):
     meter = ThroughputMeter()
 
     step = args.restore_step + 1  # next step to run
-    epoch = int(state.epoch)
     strict = bool(tpu_cfg.get("strict_batch_order", False))
     periods = [cfg_step["log_step"], cfg_step["synth_step"],
                cfg_step["val_step"], cfg_step["save_step"]]
@@ -242,7 +241,6 @@ def main(args, configs):
     for event, payload in schedule_segments(
             batch_gen, k, step, total_step, periods, strict=strict):
         if event == "epoch":  # boundary: per-epoch ExponentialLR decay
-            epoch += 1
             if mode != "aux":
                 state = state.replace(
                     epoch=state.epoch + 1,

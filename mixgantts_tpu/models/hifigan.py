@@ -170,7 +170,7 @@ class HiFiGANGenerator(nn.Module):
 
 
 def fused_apply(params, mel, config, interpret=None, compute_dtype=None,
-                fold_channels=(32, 64)):
+                fold_channels=None):
     """Pure-function HiFi-GAN forward with the Pallas-fused MRF stack
     (`ops/pallas_vocoder.mrf_stack`): each stage's 18 resblock convs and
     leaky_relus run in one kernel with the signal tile resident in VMEM,
@@ -187,9 +187,15 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None,
     fold_channels: stage widths to run TIME-FOLDED with the upsample's
     depth-to-space fused away (the sub-pixel pre-interleave output IS the
     folded layout — see subpixel_upsample / mrf_stack_folded).  Default
-    (32, 64): measured on-chip WITH the preceding upsample (u=2, k=4,
-    `bench_mrf_stage.py fused_upsample`) the folds win 1.96x at C=32 and
-    1.06x at C=64 (full pipeline RTF 0.001145 -> 0.001118).  The
+    None = auto: every lane-divisible narrow stage (C <= 64 with
+    128 % C == 0) folds, so non-V1 configs with C=16/8 tails keep their
+    folding; pass an explicit tuple to override.  For V1's 256/128/64/32
+    stages auto means (64, 32): measured on-chip WITH the preceding
+    upsample (u=2, k=4, `bench_mrf_stage.py fused_upsample`) the folds
+    win 1.96x at C=32 and 1.06x at C=64 (pipeline RTF
+    0.001145 -> 0.001118), and the narrower the stage the larger the
+    folding win (unfolded C=16 would waste 112/128 of every lane on the
+    highest-rate stage).  The
     prefused fold and fold-after-d2s measure identical (+-1%): XLA's
     d2s here is contiguous reshapes around the bias add, already free —
     the prefused path simply states that fact in the graph (numbers in
@@ -248,7 +254,9 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None,
         C = p["kernel"].shape[1]  # [k, C_out, C_in]
         T_in = x.shape[1]
         F = 128 // C if (C < 128 and 128 % C == 0) else 0
-        if F and C in fold_channels and (T_in * u) % F == 0:
+        fold_this = (C <= 64 if fold_channels is None
+                     else C in fold_channels)
+        if F and fold_this and (T_in * u) % F == 0:
             # narrow stages waste (128 - C)/128 of every lane: fold F
             # time positions into the lane axis.  The upsample's
             # pre-interleave output [B, T_in, u*C] already IS the folded

@@ -21,6 +21,8 @@ import numpy as np
 
 from .utils.tools import bucket_length
 
+_RNGS_EXHAUSTED = object()
+
 
 class _Pending:
     """In-flight synthesis batch: device-resident outputs + host metadata."""
@@ -263,7 +265,18 @@ class TTSPipeline:
         inflight = collections.deque()
         rng_of = iter(rngs) if rngs is not None else None
         for batch in batches:
-            rng = next(rng_of) if rng_of is not None else None
+            if rng_of is None:
+                rng = None
+            else:
+                # a bare next() here would raise StopIteration inside the
+                # generator body, which PEP 479 turns into an opaque
+                # RuntimeError that drops all in-flight results
+                rng = next(rng_of, _RNGS_EXHAUSTED)
+                if rng is _RNGS_EXHAUSTED:
+                    raise ValueError(
+                        "stream(): `rngs` ran out before `batches` did — "
+                        "pass one PRNG key per batch (or omit rngs to draw "
+                        "from the pipeline's call counter)")
             inflight.append(
                 self.submit(batch, p_control, e_control, d_control, rng))
             if len(inflight) >= max(1, depth):

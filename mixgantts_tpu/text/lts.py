@@ -310,6 +310,8 @@ _R = {
         ("h", "ou", "s#", "AW"),
         ("", "ous", "", "AH S"),
         ("", "our", "", "AO R"),
+        ("", "ould", "n", "UH D"),      # wouldn't/couldn't/shouldn't (±')
+        ("", "ould", "'", "UH D"),      # would've, could've
         ("", "oul", "d#", "OW L"),      # boulder, shoulder
         ("", "ould", " ", "UH D"),      # could, would, should
         ("^", "ou", "^l", "AH"),

@@ -9,6 +9,8 @@ adv + recon + feature-matching.  Both phases compile into ONE XLA program
 per step; gradient clipping and the optimizer chains live in `optim.py`.
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,24 +60,28 @@ def make_train_step(mode, model, discriminator, model_config, train_config):
     compute_dtype = jnp.dtype(tpu_cfg.get("compute_dtype", "float32"))
     mixed = compute_dtype != jnp.float32
 
-    # Validate the forward-reuse flags for EVERY mode up front, so a
-    # misconfigured aux run fails as loudly as a misconfigured naive one
-    # (the flags only alter the GAN step; aux has a single forward).
+    # Validate the forward-reuse flags for EVERY mode up front.  Real
+    # conflicts fail loudly; flags that are merely inert for THIS phase
+    # warn instead of raising, because the documented aux→shallow
+    # schedule drives both phases from one model.yaml — a shallow-only
+    # opt-in must not abort the aux phase that precedes it.
     reuse_g = bool(tpu_cfg.get("reuse_g_forward", False))
     reuse_aux = bool(tpu_cfg.get("reuse_aux_forward", False))
     if reuse_g and reuse_aux:
         raise ValueError(
             "tpu.reuse_g_forward and tpu.reuse_aux_forward are mutually "
             "exclusive (reuse_g_forward already shares the whole forward)")
-    if reuse_g and mode == "aux":
+    if reuse_aux and mode == "naive":
         raise ValueError(
-            "tpu.reuse_g_forward has no effect in aux mode (aux already "
-            "runs a single forward per step); unset it")
-    if reuse_aux and mode != "shallow":
-        raise ValueError(
-            f"tpu.reuse_aux_forward only applies to shallow training "
-            f"(mode={mode!r} has no frozen aux stack to share); use "
-            f"tpu.reuse_g_forward to share the whole forward instead")
+            "tpu.reuse_aux_forward only applies to shallow training "
+            "(naive mode never has a frozen aux stack to share); use "
+            "tpu.reuse_g_forward to share the whole forward instead")
+    if mode == "aux" and (reuse_g or reuse_aux):
+        flag = "reuse_g_forward" if reuse_g else "reuse_aux_forward"
+        warnings.warn(
+            f"tpu.{flag} is inert for the aux phase (aux runs a single "
+            f"forward per step); it will take effect in the GAN phase "
+            f"of this schedule", stacklevel=2)
 
     def g_forward(g_params, batch_stats, batch, rngs, train=True):
         if mixed:

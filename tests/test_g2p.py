@@ -311,6 +311,21 @@ def test_stress_marking_shape():
                 assert p not in _VOWEL_PHONES, (word, p)
 
 
+def test_ould_contractions():
+    """Regression: narrowing the 'ould' rule to end-of-word broke the
+    could/would/should contraction family (apostrophe is neither a vowel,
+    a consonant, nor end-of-word to the context matcher), vocalizing
+    wouldn't as W AW L D N T.  The boulder/shoulder OW branch must
+    survive the fix."""
+    strip = lambda ps: [p.rstrip("012") for p in ps]
+    for w in ("wouldn't", "wouldnt", "couldn't", "shouldn't"):
+        got = strip(letter_to_sound(w))
+        assert got[-4:] == ["UH", "D", "N", "T"], (w, got)
+    assert strip(letter_to_sound("would've"))[:3] == ["W", "UH", "D"]
+    for w in ("boulder", "shoulder"):
+        assert strip(letter_to_sound(w))[1:4] == ["OW", "L", "D"], w
+
+
 def test_nonsense_and_empty():
     assert letter_to_sound("") == ["spn"]
     assert letter_to_sound("12345") == ["spn"]

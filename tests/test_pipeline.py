@@ -147,6 +147,10 @@ def test_pipeline_stream_matches_sequential():
         np.testing.assert_array_equal(m1, m2)
         for a, b in zip(w1, w2):
             np.testing.assert_array_equal(a, b)
+    # rngs shorter than batches: a clear ValueError, not the opaque
+    # PEP-479 RuntimeError a bare next() inside the generator produced
+    with pytest.raises(ValueError, match="rngs.*ran out"):
+        list(mk().stream(batches, rngs=[jax.random.PRNGKey(0)]))
 
 
 def test_pipeline_bucket_reuse():

@@ -151,6 +151,28 @@ def test_fused_mrf_apply_matches_module():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_apply_auto_folds_narrow_stages():
+    """fold_channels=None (the default) must time-fold EVERY lane-divisible
+    narrow stage, not just V1's (32, 64): a config with C=8/C=4 tails
+    regressing to the unfolded kernel would silently waste 120/128 of
+    every vector lane on the highest-rate stages.  T is chosen
+    fold-divisible so the fold actually engages (F=16 and F=32)."""
+    from mixgantts_tpu.models.hifigan import fused_apply
+
+    fg = HiFiGANGenerator.from_config(SMALL_CONFIG)
+    mel = jnp.asarray(
+        np.random.RandomState(3).randn(1, 16, SMALL_CONFIG["num_mels"]),
+        jnp.float32)
+    params = fg.init(jax.random.PRNGKey(0), mel)["params"]
+    want = np.asarray(fg.apply({"params": params}, mel))
+    got = np.asarray(fused_apply(params, mel, SMALL_CONFIG))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # explicit override still wins
+    got_off = np.asarray(fused_apply(params, mel, SMALL_CONFIG,
+                                     fold_channels=()))
+    np.testing.assert_allclose(got_off, want, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_apply_bf16_snr():
     """bf16 activations (the TPU default for fused_apply) must keep the
     waveform close to fp32: SNR > 30 dB."""

@@ -61,7 +61,6 @@ KEYS = ["step", "total", "D", "adv", "mel", "postnet", "pitch", "energy",
 
 
 def build_workspace():
-    import yaml
     from test_data_pipeline import make_corpus, PREPROCESS_CONFIG
     from test_cli import TINY_MODEL_YAML, TINY_TRAIN_YAML
 
@@ -120,7 +119,12 @@ def parse_log(mode):
             m = LINE.match(line.strip())
             if m:
                 rows.append({k: float(g) for k, g in zip(KEYS, m.groups())})
-    return rows
+    # The CLI appends to log.txt, so a phase that died partway and was
+    # rerun leaves BOTH attempts' rows for the overlapping steps; keep the
+    # last occurrence per step so the asserted windows reflect the run
+    # that actually produced the final checkpoint.
+    by_step = {r["step"]: r for r in rows}
+    return [by_step[s] for s in sorted(by_step)]
 
 
 def window_mean(rows, key, lo, hi):
