@@ -8,6 +8,13 @@ equivalent evidence for the TPU rebuild: it drives the REAL CLIs
 then synthesize.py) on a 24-utterance synthetic corpus on the real chip,
 parses the reference-format train logs, and asserts
 
+`python tests/train_horizon.py naive` runs the OTHER reference schedule —
+naive-mode GAN training from scratch (4-step diffusion, D+G adversarial
+from step 1, no aux warm-start; `/root/reference/train.py --model naive`)
+— for the same step count with the same finite/trend/LSGAN-band/audio
+assertions, writing docs/horizon_naive_r04.{json,png}.  The default
+(no argument) runs aux -> shallow and asserts
+
   * every logged metric is finite at every log step (the train CLI's
     check_finite_metrics guard would abort the run otherwise),
   * the aux recon losses trend DOWN: the postnet loss (the actual
@@ -182,14 +189,172 @@ def write_plot(artifact, path):
     plt.close(fig)
 
 
+def ensure_corpus():
+    """Build + preprocess the workspace only if its artifacts are absent,
+    so the naive and aux->shallow drives can share one corpus."""
+    if not os.path.isdir(f"{WS}/preprocessed/mel"):
+        build_workspace()
+        print("== preprocess ==")
+        run([f"{REPO}/preprocess.py", "--dataset", "TestCorpus"], "pre.log")
+
+
+def check_wav(rdir):
+    """Non-degeneracy checks on the synthesized wav; returns stats.
+
+    A barely-trained GAN vocoder legitimately carries a DC offset (tanh
+    output) and strong Nyquist ringing (the classic early-training
+    checkerboard artifact of stride-2 upsampling, trained away at real
+    horizons) — neither is collapse.  What IS collapse: silence, a
+    constant, or a single pure tone.  So measure the spectrum with mean
+    removed and the DC + Nyquist bins excluded, and require real
+    broadband content: >= 20% of energy in the interior bins, spread
+    over >= 2 of the speech bands at >= 2% each."""
+    import wave
+    wavs = [f for f in os.listdir(rdir) if f.endswith(".wav")]
+    assert wavs, os.listdir(rdir)
+    with wave.open(os.path.join(rdir, wavs[0])) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    pcm_f = pcm.astype(np.float32) / 32768.0
+    assert len(pcm_f) > 1000, len(pcm_f)
+    assert np.isfinite(pcm_f).all()
+    assert float(np.std(pcm_f)) > 1e-3, "synthesized audio is silent"
+    xc = pcm_f - pcm_f.mean()
+    e = np.abs(np.fft.rfft(xc)) ** 2
+    interior = float(e[1:-1].sum() / e.sum())
+    assert interior > 0.2, f"energy collapsed to DC/Nyquist ({interior})"
+    freqs = np.fft.rfftfreq(len(xc), 1.0 / 22050)
+    bands = []
+    for lo, hi in ((300, 1000), (1000, 4000), (4000, 10000)):
+        m = (freqs >= lo) & (freqs < hi)
+        bands.append(float(e[m].sum() / e.sum()))
+    assert sum(b >= 0.02 for b in bands) >= 2, (
+        f"spectrum is a single tone, band energies {bands}")
+    print(f"wav: {len(pcm_f)} samples, std {np.std(pcm_f):.4f}, "
+          f"interior energy {interior:.4f}, bands {bands}")
+    return {"wav_samples": int(len(pcm_f)), "wav_std": float(np.std(pcm_f)),
+            "wav_interior_energy": interior, "wav_band_energy": bands}
+
+
+def check_gan_bands(rows, label):
+    """LSGAN sanity bands: neither player collapses (D at 0 = D gave up;
+    adv stuck at ~1 with D at 0.5 forever = G gave up) nor blows up."""
+    d_vals = [r["D"] for r in rows]
+    adv_vals = [r["adv"] for r in rows]
+    assert 0.0 < float(np.mean(d_vals)) < 2.0, np.mean(d_vals)
+    assert 0.0 < float(np.mean(adv_vals)) < 4.0, np.mean(adv_vals)
+    assert max(d_vals) < 10 and max(adv_vals) < 10, (max(d_vals),
+                                                     max(adv_vals))
+    print(f"{label}: D {np.mean(d_vals):.3f}, adv {np.mean(adv_vals):.3f}")
+    return float(np.mean(d_vals)), float(np.mean(adv_vals))
+
+
+def run_naive():
+    """Naive-schedule horizon: GAN from scratch (4-step diffusion, D+G
+    adversarial from step 1) for AUX_STEPS steps, then synthesize via the
+    full 4-step sampling loop."""
+    final_ckpt = f"{WS}/output/ckpt/TestCorpus_naive/{AUX_STEPS}"
+    ensure_corpus()
+    print(f"== naive {AUX_STEPS} steps from scratch ==")
+    if not os.path.isdir(final_ckpt):
+        run([f"{REPO}/train.py", "--model", "naive", "--dataset",
+             "TestCorpus"], "naive.log")
+    rows = parse_log("naive")
+    assert rows and rows[-1]["step"] == AUX_STEPS, (len(rows), rows[-1:])
+    for r in rows:
+        assert all(np.isfinite(v) for v in r.values()), r
+    d_mean, adv_mean = check_gan_bands(rows, "naive GAN")
+    # the naive mel loss supervises x0 recon across 4 diffusion levels —
+    # it carries a noise floor, but adversarial training from scratch
+    # must still pull it down
+    early = window_mean(rows, "mel", 1, 4 * LOG_STEP)
+    late = window_mean(rows, "mel", AUX_STEPS - 4 * LOG_STEP, AUX_STEPS)
+    factor = early / late
+    print(f"naive mel: early {early:.4f} -> late {late:.4f} "
+          f"({factor:.2f}x, floor {NAIVE_MEL_FLOOR}x)")
+    assert factor >= NAIVE_MEL_FLOOR, (
+        f"naive mel loss only improved {factor:.2f}x")
+    # the unambiguous learning signals in naive mode are the variance
+    # predictors (no diffusion noise floor); measured on the recorded
+    # run: duration 11.6x, energy 16.5x, pitch 2.8x down
+    trend_stats = {}
+    for key, floor in [("duration", 5.0), ("energy", 5.0), ("pitch", 1.5)]:
+        e0 = window_mean(rows, key, 1, 4 * LOG_STEP)
+        e1 = window_mean(rows, key, AUX_STEPS - 4 * LOG_STEP, AUX_STEPS)
+        f = e0 / e1
+        print(f"naive {key}: {e0:.4f} -> {e1:.4f} ({f:.2f}x, floor {floor}x)")
+        assert f >= floor, f"naive {key} loss only improved {f:.2f}x"
+        trend_stats[key] = (e0, e1, f)
+
+    print("== synthesize from the final naive checkpoint (4-step loop) ==")
+    run([f"{REPO}/synthesize.py", "--restore_step", str(AUX_STEPS),
+         "--model", "naive", "--mode", "single", "--text", "hello world",
+         "--dataset", "TestCorpus"], "synth_naive.log")
+    wav_stats = check_wav(
+        f"{WS}/output/result/TestCorpus_naive/{AUX_STEPS}")
+
+    artifact = {
+        "corpus": "synthetic-24utt", "naive_steps": AUX_STEPS,
+        "log_step": LOG_STEP,
+        "naive_mel_early": early, "naive_mel_late": late,
+        "naive_mel_improvement": factor,
+        "naive_variance_improvements": {
+            k: {"early": v[0], "late": v[1], "factor": v[2]}
+            for k, v in trend_stats.items()},
+        "naive_D_mean": d_mean, "naive_adv_mean": adv_mean,
+        "naive_trajectory": rows, "all_metrics_finite": True,
+    }
+    artifact.update(wav_stats)
+    out = os.path.join(REPO, "docs", "horizon_naive_r04.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    write_plot_naive(artifact,
+                     os.path.join(REPO, "docs", "horizon_naive_r04.png"))
+    print(f"PASS — artifacts written to {out} / horizon_naive_r04.png")
+
+
+def write_plot_naive(artifact, path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    C = ["#2a78d6", "#eb6834", "#1baf7a"]
+    SURFACE, INK, INK2 = "#fcfcfb", "#0b0b0b", "#52514e"
+    fig, ax = plt.subplots(figsize=(6.5, 4), dpi=130)
+    fig.patch.set_facecolor(SURFACE)
+    ax.set_facecolor(SURFACE)
+    ax.grid(True, color="#e4e3df", linewidth=0.7, zorder=0)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color("#c9c8c2")
+    ax.tick_params(colors=INK2, labelsize=9)
+    ax.set_xlabel("step", color=INK2, fontsize=9)
+    rows = artifact["naive_trajectory"]
+    xs = [r["step"] for r in rows]
+    ax.plot(xs, [r["mel"] for r in rows], color=C[0], lw=2,
+            label="mel (diffusion)", zorder=3)
+    ax.plot(xs, [r["D"] for r in rows], color=C[1], lw=2, label="D loss",
+            zorder=3)
+    ax.plot(xs, [r["adv"] for r in rows], color=C[2], lw=2, label="G adv",
+            zorder=3)
+    ax.set_title(f"naive GAN from scratch — mel "
+                 f"{artifact['naive_mel_improvement']:.2f}x down, "
+                 f"LSGAN bands hold", color=INK, fontsize=10, loc="left")
+    ax.legend(frameon=False, fontsize=9, labelcolor=INK2)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+
+
+NAIVE_MEL_FLOOR = 1.0  # ratcheted after the first recorded run
+
+
 def main():
     aux_ckpt = f"{WS}/output/ckpt/TestCorpus_shallow/{AUX_STEPS}"
     final_ckpt = (f"{WS}/output/ckpt/TestCorpus_shallow/"
                   f"{AUX_STEPS + SHALLOW_STEPS}")
     if not os.path.isdir(aux_ckpt):
-        build_workspace()
-        print("== preprocess ==")
-        run([f"{REPO}/preprocess.py", "--dataset", "TestCorpus"], "pre.log")
+        ensure_corpus()
         print(f"== aux {AUX_STEPS} steps (first TPU compile ~5 min) ==")
         run([f"{REPO}/train.py", "--model", "aux", "--dataset",
              "TestCorpus"], "aux.log")
@@ -221,21 +386,13 @@ def main():
     assert sh and sh[-1]["step"] == AUX_STEPS + SHALLOW_STEPS
     for r in sh:
         assert all(np.isfinite(v) for v in r.values()), r
-    d_vals = [r["D"] for r in sh]
-    adv_vals = [r["adv"] for r in sh]
-    # LSGAN sanity bands: neither player collapses (D at 0 = D gave up;
-    # adv stuck at ~1 with D at 0.5 forever = G gave up) nor blows up
-    assert 0.0 < float(np.mean(d_vals)) < 2.0, np.mean(d_vals)
-    assert 0.0 < float(np.mean(adv_vals)) < 4.0, np.mean(adv_vals)
-    assert max(d_vals) < 10 and max(adv_vals) < 10, (max(d_vals),
-                                                     max(adv_vals))
+    d_mean, adv_mean = check_gan_bands(sh, "shallow GAN")
     sh_mel_early = window_mean(sh, "mel", AUX_STEPS,
                                AUX_STEPS + 4 * LOG_STEP)
     sh_mel_late = window_mean(sh, "mel",
                               AUX_STEPS + SHALLOW_STEPS - 4 * LOG_STEP,
                               AUX_STEPS + SHALLOW_STEPS)
-    print(f"shallow mel: {sh_mel_early:.4f} -> {sh_mel_late:.4f}; "
-          f"D {np.mean(d_vals):.3f}, adv {np.mean(adv_vals):.3f}")
+    print(f"shallow mel: {sh_mel_early:.4f} -> {sh_mel_late:.4f}")
     assert sh_mel_late < 2.0 * sh_mel_early + 0.1, "shallow mel diverged"
 
     print("== synthesize from the final shallow checkpoint ==")
@@ -243,39 +400,8 @@ def main():
          str(AUX_STEPS + SHALLOW_STEPS), "--model", "shallow", "--mode",
          "single", "--text", "hello world", "--dataset", "TestCorpus"],
         "synth.log")
-    rdir = f"{WS}/output/result/TestCorpus_shallow/{AUX_STEPS + SHALLOW_STEPS}"
-    wavs = [f for f in os.listdir(rdir) if f.endswith(".wav")]
-    assert wavs, os.listdir(rdir)
-    import wave
-    with wave.open(os.path.join(rdir, wavs[0])) as w:
-        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
-    pcm_f = pcm.astype(np.float32) / 32768.0
-    assert len(pcm_f) > 1000, len(pcm_f)
-    assert np.isfinite(pcm_f).all()
-    assert float(np.std(pcm_f)) > 1e-3, "synthesized audio is silent"
-    # Non-degeneracy: a barely-trained GAN vocoder legitimately carries a
-    # DC offset (tanh output, measured −0.19 here) and strong Nyquist
-    # ringing (the classic early-training checkerboard artifact of
-    # stride-2 upsampling, trained away at real horizons) — neither is
-    # collapse.  What IS collapse: silence, a constant, or a single pure
-    # tone.  So measure the spectrum with mean removed and the DC +
-    # Nyquist bins excluded, and require real broadband content: >= 20%
-    # of energy in the interior bins, spread over >= 2 of the speech
-    # bands at >= 2% each (measured on this run: interior 0.41, bands
-    # 0.02 / 0.14 / 0.24).
-    xc = pcm_f - pcm_f.mean()
-    e = np.abs(np.fft.rfft(xc)) ** 2
-    interior = float(e[1:-1].sum() / e.sum())
-    assert interior > 0.2, f"energy collapsed to DC/Nyquist ({interior})"
-    freqs = np.fft.rfftfreq(len(xc), 1.0 / 22050)
-    bands = []
-    for lo, hi in ((300, 1000), (1000, 4000), (4000, 10000)):
-        m = (freqs >= lo) & (freqs < hi)
-        bands.append(float(e[m].sum() / e.sum()))
-    assert sum(b >= 0.02 for b in bands) >= 2, (
-        f"spectrum is a single tone, band energies {bands}")
-    print(f"wav: {len(pcm_f)} samples, std {np.std(pcm_f):.4f}, "
-          f"interior energy {interior:.4f}, bands {bands}")
+    wav_stats = check_wav(
+        f"{WS}/output/result/TestCorpus_shallow/{AUX_STEPS + SHALLOW_STEPS}")
 
     artifact = {
         "corpus": "synthetic-24utt", "aux_steps": AUX_STEPS,
@@ -287,13 +413,12 @@ def main():
         "aux_trace_mel_late": aux_stats["mel"][1],
         "aux_trace_mel_improvement": aux_stats["mel"][2],
         "shallow_mel_early": sh_mel_early, "shallow_mel_late": sh_mel_late,
-        "shallow_D_mean": float(np.mean(d_vals)),
-        "shallow_adv_mean": float(np.mean(adv_vals)),
-        "wav_samples": int(len(pcm_f)), "wav_std": float(np.std(pcm_f)),
-        "wav_interior_energy": interior, "wav_band_energy": bands,
+        "shallow_D_mean": d_mean,
+        "shallow_adv_mean": adv_mean,
         "aux_trajectory": aux, "shallow_trajectory": sh,
         "all_metrics_finite": True,
     }
+    artifact.update(wav_stats)
     out = os.path.join(REPO, "docs", "horizon_r04.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
@@ -303,4 +428,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "naive":
+        run_naive()
+    else:
+        main()
