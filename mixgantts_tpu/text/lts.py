@@ -119,6 +119,9 @@ _R = {
         (" ", "doing", "", "D UW IH NG"),
         (" ", "dow", "", "D AW"),
         ("", "du", "a", "JH UW"),
+        ("", "dg", "", "JH"),       # morpheme-internal dg: badger, budget,
+                                    # edge, judged (compounds like handgun
+                                    # lose; NRL's original has DG -> JH too)
         ("", "d", "", "D"),
     ],
     "e": [
@@ -268,6 +271,7 @@ _R = {
     ],
     "m": [
         ("", "mov", "", "M UW V"),
+        ("", "mn", " ", "M"),       # silent final n: autumn, hymn, column
         ("m", "m", "", ""),
         ("", "m", "", "M"),
     ],
@@ -405,6 +409,8 @@ _R = {
     "t": [
         ("s", "t", "le", ""),           # castle, whistle, thistle
         ("s", "t", "en ", ""),          # listen, fasten, moisten
+        ("r", "tain", " ", "T AH N"),   # certain, curtain (pertain loses)
+        ("p", "tain", " ", "T AH N"),   # captain
         (" ", "the", " ", "DH AH"),
         ("", "to", " ", "T UW"),
         ("", "that", " ", "DH AE T"),
@@ -434,6 +440,9 @@ _R = {
         ("", "t", "", "T"),
     ],
     "u": [
+        ("p", "u", "sh", "UH"),     # push, cushion-family (rush/brush
+        ("b", "u", "sh", "UH"),     # keep AH via the generic u rule)
+        ("c", "u", "sh", "UH"),
         (" ", "un", "i", "Y UW N"),
         (" ", "un", "", "AH N"),
         (" ", "upon", "", "AH P AO N"),
