@@ -372,3 +372,48 @@ def test_synthesize_cli_batch_data_parallel(workspace, monkeypatch):
     wavs = [f for f in os.listdir(result_dir)
             if f.endswith(".wav") and "teacher" not in f]
     assert len(wavs) >= 1
+
+
+def test_export_cli_reference_pth_tar(workspace, monkeypatch):
+    """`python -m mixgantts_tpu.export` turns a checkpoint trained by THIS
+    framework's CLI into the reference's `.pth.tar` layout
+    (`train.py:251-267`: {"epoch", "G", "D"} of torch tensors).  Tensor-
+    level inverse correctness vs the actual reference modules is pinned
+    in test_reference_parity.py::test_export_roundtrip_strict_load; this
+    drives the CLI wiring on a real orbax checkpoint."""
+    torch = pytest.importorskip("torch")
+    from mixgantts_tpu.export import export_checkpoint_cli
+
+    out = os.path.join(workspace, "exported_4.pth.tar")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["export.py", "--restore_step", "4", "--model", "naive",
+         "--dataset", "TestCorpus", "--out", out])
+    export_checkpoint_cli()
+
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"epoch", "G", "D"}
+    assert isinstance(ckpt["epoch"], int)
+    G, D = ckpt["G"], ckpt["D"]
+    # naive mode: no decoder/mel_linear/postnet in the reference tree
+    assert not any(k.startswith(("decoder.", "postnet.", "mel_linear"))
+                   for k in G)
+    assert "linguistic_encoder.src_emb.weight" in G
+    assert G["diffusion.betas"].shape == (2,)  # naive timesteps=2
+    h = TINY_MODEL_YAML["transformer"]["encoder_hidden"]
+    assert G["linguistic_encoder.w2p_attn.w_qs.linear.weight"].shape == (h, h)
+    # conv layout is torch [out, in, k]
+    k = TINY_MODEL_YAML["denoiser"]["residual_channels"]
+    w = G["diffusion.denoise_fn.residual_layers.0.conv_layer.conv.weight"]
+    assert w.shape == (2 * k, k, 3)
+    assert all(v.dtype in (torch.float32, torch.int64) for v in G.values())
+    assert "input_projection.linear.weight" in D
+    assert "conv_block.0.conv.weight" in D
+    # the exported weights round-trip back into our tree bit-for-bit
+    from mixgantts_tpu.convert import convert_generator
+    params, _ = convert_generator(
+        {kk: vv.numpy() for kk, vv in G.items()}, "naive",
+        encoder_layers=1, denoiser_layers=2)
+    got = params["linguistic_encoder"]["src_emb"]["embedding"]
+    np.testing.assert_array_equal(
+        got, G["linguistic_encoder.src_emb.weight"].numpy())

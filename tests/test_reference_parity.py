@@ -1016,3 +1016,72 @@ def test_full_size_inference_parity(ref_modules, tmp_path, monkeypatch,
     assert mae < 1e-3, f"{mode} full-size e2e inference mel MAE {mae}"
     np.testing.assert_allclose(got * maskf, ref_mel * maskf,
                                rtol=5e-3, atol=5e-3)
+
+
+def test_export_roundtrip_strict_load(ref_modules, tmp_path):
+    """Reverse interop (`mixgantts_tpu/export.py`): converting a reference
+    G/D state_dict to flax and exporting it back must reproduce every
+    tensor exactly (weights) / to float tolerance (the derived diffusion
+    schedule buffers, recomputed from the beta schedule with the
+    reference's own formulas, `model/diffusion.py:56-90`), with an
+    identical key set — so `load_state_dict(strict=True)` on the actual
+    reference modules accepts the export."""
+    import types as _types
+
+    import numpy as np
+
+    from mixgantts_tpu.convert import (convert_discriminator,
+                                       convert_generator)
+    from mixgantts_tpu.export import (export_discriminator,
+                                      export_generator)
+    from mixgantts_tpu.models.diffusion import DiffusionSchedule
+
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    train_cfg["loss"]["noise_loss"] = "l1"
+    torch.manual_seed(7)
+    args = _types.SimpleNamespace(model="aux")  # aux covers the full tree
+    ref = ref_modules.mix.MixGANTTS(args, pre_cfg, model_cfg, train_cfg)
+    sd_ref = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    params, batch_stats = convert_generator(
+        sd_ref, "aux", encoder_layers=2, decoder_layers=2,
+        denoiser_layers=3)
+    d = model_cfg["denoiser"]
+    schedule = DiffusionSchedule.create(
+        d["noise_schedule_naive"], d["shallow_timesteps"],  # aux != naive
+        d["min_beta"], d["max_beta"], d["s"],
+        tuple([-12.0] * 16), tuple([2.0] * 16))
+    stats_ns = _types.SimpleNamespace(pitch_min=-2.0, pitch_max=9.0,
+                                      energy_min=-1.5, energy_max=8.0)
+    sd_out = export_generator(
+        params, batch_stats, betas=schedule.betas,
+        spec_min=np.full(16, -12.0), spec_max=np.full(16, 2.0),
+        model_config=model_cfg, stats=stats_ns)
+
+    assert set(sd_out) == set(sd_ref), (
+        set(sd_out) ^ set(sd_ref))
+    buffers = {k for k in sd_ref if k.startswith("diffusion.")
+               and ".denoise_fn." not in k}
+    buffers |= {"linguistic_encoder.abs_position_enc",
+                "linguistic_encoder.pitch_bins",
+                "linguistic_encoder.energy_bins", "decoder.position_enc"}
+    for k, v in sd_ref.items():
+        if k in buffers:
+            np.testing.assert_allclose(
+                sd_out[k], v, rtol=1e-6, atol=1e-7, err_msg=k)
+        else:
+            np.testing.assert_array_equal(sd_out[k], v, err_msg=k)
+    ref.load_state_dict(  # strict=True: keys, shapes, dtypes all checked
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd_out.items()})
+
+    disc_ref = ref_modules.mix.JCUDiscriminator(pre_cfg, model_cfg,
+                                                train_cfg)
+    d_sd_ref = {k: v.numpy() for k, v in disc_ref.state_dict().items()}
+    d_sd_out = export_discriminator(convert_discriminator(d_sd_ref))
+    assert set(d_sd_out) == set(d_sd_ref), set(d_sd_out) ^ set(d_sd_ref)
+    for k, v in d_sd_ref.items():
+        np.testing.assert_array_equal(d_sd_out[k], v, err_msg=k)
+    disc_ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in d_sd_out.items()})
