@@ -1085,3 +1085,78 @@ def test_export_roundtrip_strict_load(ref_modules, tmp_path):
     disc_ref.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v))
          for k, v in d_sd_out.items()})
+
+
+@pytest.mark.parametrize("embedder", ["none", "DeepSpeaker"])
+def test_export_roundtrip_multispeaker(ref_modules, tmp_path, embedder):
+    """Multispeaker export branches: the speaker embedding table
+    (`model/mixgantts.py:45-48`, embedder 'none') or the external-
+    embedding projection (`:50-53`), the denoiser's per-block
+    speaker_projection, and the JCU discriminator's spk_mlp
+    (`model/mixgantts.py:210-212`) — all round-trip exactly and load
+    strictly."""
+    import json as _json
+    import types as _types
+
+    import numpy as np
+
+    from mixgantts_tpu.convert import (convert_discriminator,
+                                       convert_generator)
+    from mixgantts_tpu.export import (export_discriminator,
+                                      export_generator)
+    from mixgantts_tpu.models.diffusion import DiffusionSchedule
+
+    pre_cfg, model_cfg, train_cfg = make_configs(tmp_path)
+    train_cfg["loss"]["noise_loss"] = "l1"
+    model_cfg["multi_speaker"] = True
+    model_cfg["external_speaker_dim"] = 12
+    pre_cfg["preprocessing"]["speaker_embedder"] = embedder
+    with open(os.path.join(str(tmp_path), "speakers.json"), "w") as f:
+        _json.dump({"spk_a": 0, "spk_b": 1, "spk_c": 2}, f)
+
+    torch.manual_seed(11)
+    args = _types.SimpleNamespace(model="naive")
+    ref = ref_modules.mix.MixGANTTS(args, pre_cfg, model_cfg, train_cfg)
+    sd_ref = {k: v.numpy() for k, v in ref.state_dict().items()}
+    assert "speaker_emb.weight" in sd_ref
+    assert any(".speaker_projection." in k for k in sd_ref)
+
+    params, batch_stats = convert_generator(
+        sd_ref, "naive", encoder_layers=2, decoder_layers=2,
+        denoiser_layers=3, multi_speaker=True)
+    d = model_cfg["denoiser"]
+    schedule = DiffusionSchedule.create(
+        d["noise_schedule_naive"], d["timesteps"], d["min_beta"],
+        d["max_beta"], d["s"], tuple([-12.0] * 16), tuple([2.0] * 16))
+    stats_ns = _types.SimpleNamespace(pitch_min=-2.0, pitch_max=9.0,
+                                      energy_min=-1.5, energy_max=8.0)
+    sd_out = export_generator(
+        params, batch_stats, betas=schedule.betas,
+        spec_min=np.full(16, -12.0), spec_max=np.full(16, 2.0),
+        model_config=model_cfg, stats=stats_ns)
+    assert set(sd_out) == set(sd_ref), set(sd_out) ^ set(sd_ref)
+    buffers = {k for k in sd_ref if k.startswith("diffusion.")
+               and ".denoise_fn." not in k}
+    buffers |= {"linguistic_encoder.abs_position_enc",
+                "linguistic_encoder.pitch_bins",
+                "linguistic_encoder.energy_bins"}
+    for k, v in sd_ref.items():
+        if k in buffers:
+            np.testing.assert_allclose(sd_out[k], v, rtol=1e-6,
+                                       atol=1e-7, err_msg=k)
+        else:
+            np.testing.assert_array_equal(sd_out[k], v, err_msg=k)
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd_out.items()})
+
+    disc_ref = ref_modules.mix.JCUDiscriminator(pre_cfg, model_cfg,
+                                                train_cfg)
+    d_sd_ref = {k: v.numpy() for k, v in disc_ref.state_dict().items()}
+    assert "spk_mlp.0.linear.weight" in d_sd_ref
+    d_sd_out = export_discriminator(
+        convert_discriminator(d_sd_ref, multi_speaker=True))
+    assert set(d_sd_out) == set(d_sd_ref), set(d_sd_out) ^ set(d_sd_ref)
+    for k, v in d_sd_ref.items():
+        np.testing.assert_array_equal(d_sd_out[k], v, err_msg=k)
+    disc_ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in d_sd_out.items()})
