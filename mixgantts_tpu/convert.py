@@ -251,6 +251,20 @@ def convert_reference_checkpoint_cli():
     import jax
     import numpy as np
 
+    # checkpoint conversion is host-side (param trees -> numpy); CPU is
+    # the right backend, avoids holding the single TPU tunnel, and works
+    # even when the pinned TPU plugin cannot register in this process.
+    # Restored on exit: tests drive this CLI in-process and the session's
+    # other work may need the TPU backend
+    prev_platforms = jax.config.jax_platforms
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        _convert_reference_checkpoint(argparse, os, re, jax, np)
+    finally:
+        jax.config.update("jax_platforms", prev_platforms)
+
+
+def _convert_reference_checkpoint(argparse, os, re, jax, np):
     from .checkpoint import save_checkpoint
     from .cli.common import (build_discriminator, build_model, load_configs)
     from .train import create_train_state
@@ -289,6 +303,13 @@ def convert_reference_checkpoint_cli():
         word_boundaries=wb, src_w_lens=np.full((B,), W, np.int32),
         mels=r.randn(B, T, model.n_mels).astype(np.float32),
         mel_lens=np.full((B,), T, np.int32), max_mel_len=T)
+    if (model_config["multi_speaker"]
+            and preprocess_config["preprocessing"].get(
+                "speaker_embedder", "none") != "none"):
+        # external-embedder models take spker_embeds instead of indexing
+        # the learned table; init only traces shapes, zeros suffice
+        init_batch["spker_embeds"] = np.zeros(
+            (B, model_config.get("external_speaker_dim", 512)), np.float32)
     state = create_train_state(jax.random.PRNGKey(0), model, disc,
                                init_batch, train_config, model_config,
                                restore_step=args.step)

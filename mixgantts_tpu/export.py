@@ -4,7 +4,11 @@ MixGAN-TTS state_dicts (`train.py:251-267` checkpoint format).
 The exact mirror of `convert.py`: every name/layout rule there is
 inverted here, so `export_generator(convert_generator(sd)) == sd`
 tensor-for-tensor (pinned in tests/test_reference_parity.py against the
-actually-imported reference modules).  This closes the interop loop —
+actually-imported reference modules) — with one scoped exception:
+BatchNorm's `num_batches_tracked` step counter has no flax-side slot and
+is re-emitted as 0 (the reference never reads it — fixed momentum=0.1 —
+but a checkpoint exported from a converted-then-trained reference model
+will differ in that one integer).  This closes the interop loop —
 models trained on TPU with this framework can be loaded by the
 reference's `synthesize.py` / torch serving infrastructure.
 
@@ -134,7 +138,10 @@ def export_postnet(p, stats, out):
         out[f"{pre}.1.running_mean"] = _arr(stats[f"bn_{i}"]["mean"])
         out[f"{pre}.1.running_var"] = _arr(stats[f"bn_{i}"]["var"])
         # torch BatchNorm1d also tracks num_batches; the reference never
-        # reads it at inference, but load_state_dict(strict=True) wants it
+        # reads it (fixed momentum=0.1) but load_state_dict(strict=True)
+        # wants the key.  convert.py drops it (no flax-side slot), so it
+        # is re-emitted as 0 — the one tensor the round trip does not
+        # carry (see module docstring)
         out[f"{pre}.1.num_batches_tracked"] = np.asarray(0, np.int64)
 
 
@@ -204,14 +211,11 @@ def export_diffusion_buffers(betas, spec_min, spec_max, out):
 
 def _sinusoid_table(n_position, d_hid):
     """The reference's `get_sinusoid_encoding_table`
-    (`transformer/Models.py:10-28` / `model/linguistic_encoder.py:19`),
-    reproduced formula-for-formula for exact buffer equality."""
-    pos = np.arange(n_position)[:, None]
-    angle = pos / np.power(10000, 2 * (np.arange(d_hid)[None] // 2) / d_hid)
-    table = np.array(angle, dtype=np.float64)
-    table[:, 0::2] = np.sin(table[:, 0::2])
-    table[:, 1::2] = np.cos(table[:, 1::2])
-    return np.asarray(table, dtype=np.float32)
+    (`transformer/Models.py:10-28` / `model/linguistic_encoder.py:19`) —
+    the model's own parity-pinned table, so the exported buffer can
+    never drift from what the flax modules embed."""
+    from .models.blocks import sinusoid_position_table
+    return sinusoid_position_table(n_position, d_hid)
 
 
 def export_static_buffers(model_config, stats, out, with_decoder):
@@ -304,6 +308,21 @@ def export_checkpoint_cli():
     import jax
     import torch
 
+    # checkpoint export is host-side (param trees -> numpy -> torch); CPU
+    # is the right backend, avoids holding the single TPU tunnel, and
+    # works even when the pinned TPU plugin cannot register in this
+    # process.  Restored on exit: tests drive this CLI in-process and the
+    # session's other work may need the TPU backend
+    prev_platforms = jax.config.jax_platforms
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        _export_checkpoint(argparse, jax, torch)
+    finally:
+        jax.config.update("jax_platforms", prev_platforms)
+
+
+def _export_checkpoint(argparse, jax, torch):
+
     from .checkpoint import restore_checkpoint
     from .cli.common import (build_discriminator, build_model, load_configs)
     from .train import create_train_state
@@ -335,6 +354,13 @@ def export_checkpoint_cli():
         word_boundaries=wb, src_w_lens=np.full((B,), W, np.int32),
         mels=r.randn(B, T, model.n_mels).astype(np.float32),
         mel_lens=np.full((B,), T, np.int32), max_mel_len=T)
+    if (model_config["multi_speaker"]
+            and preprocess_config["preprocessing"].get(
+                "speaker_embedder", "none") != "none"):
+        # external-embedder models take spker_embeds instead of indexing
+        # the learned table; init only traces shapes, zeros suffice
+        init_batch["spker_embeds"] = np.zeros(
+            (B, model_config.get("external_speaker_dim", 512)), np.float32)
     state = create_train_state(jax.random.PRNGKey(0), model, disc,
                                init_batch, train_config, model_config,
                                restore_step=args.restore_step)

@@ -271,7 +271,11 @@ _R = {
     ],
     "m": [
         ("", "mov", "", "M UW V"),
+        (" ", "mn", "", "N"),       # silent initial m: mnemonic
         ("", "mn", " ", "M"),       # silent final n: autumn, hymn, column
+        ("", "mn", "s ", "M"),      # ... and its plurals: hymns, columns
+        ("", "mn", "'", "M"),       # possessive: autumn's
+        ("", "mn", "ed ", "M"),     # past: damned, condemned
         ("m", "m", "", ""),
         ("", "m", "", "M"),
     ],
@@ -395,6 +399,10 @@ _R = {
         ("s", "s", "", ""),
         ("", "s", "e ", "Z"),
         (".", "s", " ", "Z"),
+        # possessive 's voices like plural s: after a voiced consonant or
+        # a vowel letter (the apostrophe hides them from the "." rule)
+        (".'", "s", " ", "Z"),      # dog's, world's, john's
+        ("#'", "s", " ", "Z"),      # day's
         ("#:.e", "s", " ", "Z"),
         ("#^:##", "s", " ", "Z"),
         ("#^:#", "s", " ", "S"),
@@ -411,6 +419,11 @@ _R = {
         ("s", "t", "en ", ""),          # listen, fasten, moisten
         ("r", "tain", " ", "T AH N"),   # certain, curtain (pertain loses)
         ("p", "tain", " ", "T AH N"),   # captain
+        ("r", "tain", "s ", "T AH N"),  # curtains
+        ("p", "tain", "s ", "T AH N"),  # captains
+        ("r", "tain", "l", "T AH N"),   # certainly (pertaining: vowel
+        #                                 follows, so "^"-free "l" is safe)
+        ("r", "tain", "t", "T AH N"),   # certainty
         (" ", "the", " ", "DH AH"),
         ("", "to", " ", "T UW"),
         ("", "that", " ", "DH AE T"),

@@ -170,3 +170,34 @@ def test_synthesize_with_speaker_id(ms_workspace, monkeypatch):
         ms_workspace, "output/result/MSCorpus_naive", "4")
     wavs = [f for f in os.listdir(result_dir) if f.endswith(".wav")]
     assert wavs, "no wav produced for multi-speaker synthesis"
+
+
+def test_export_cli_external_embedder(ms_workspace, monkeypatch):
+    """Regression: the export CLI's hand-rolled init batch omitted
+    spker_embeds, so model.init hit the 'external speaker embedding
+    required' assert for every DeepSpeaker/external-embedder checkpoint —
+    the CLI could never export the multispeaker variant its own
+    export_generator supports (function-level round-trip is pinned in
+    test_reference_parity.py::test_export_roundtrip_multispeaker)."""
+    torch = pytest.importorskip("torch")
+    from mixgantts_tpu.export import export_checkpoint_cli
+
+    out = os.path.join(ms_workspace, "exported_ms_4.pth.tar")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["export.py", "--restore_step", "4", "--model", "naive",
+         "--dataset", "MSCorpus", "--out", out])
+    export_checkpoint_cli()
+
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    G = ckpt["G"]
+    # the external 512->hidden projection exports as the reference's
+    # speaker_emb Linear (`model/mixgantts.py:49-53`), not an Embedding
+    h = TINY_MODEL_YAML["transformer"]["encoder_hidden"]
+    assert G["speaker_emb.weight"].shape == (h, 512)
+    assert "speaker_emb.bias" in G
+    # per-block denoiser speaker projections came along
+    assert ("diffusion.denoise_fn.residual_layers.0"
+            ".speaker_projection.linear.weight") in G
+    # D's speaker mlp exports under the JCU names
+    assert "spk_mlp.0.linear.weight" in ckpt["D"]

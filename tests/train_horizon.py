@@ -316,13 +316,15 @@ def check_speaker_conditioning(steps):
     batch = build_single_batch(args, pre, model_cfg)
     kw = model_batch_of(dict(batch))
     kw["max_mel_len"] = 64
-    init_rngs = {"params": jax.random.PRNGKey(0),
-                 "dropout": jax.random.PRNGKey(1),
-                 "diffusion": jax.random.PRNGKey(2)}
-    init_emb = np.asarray(model.init(init_rngs, **kw, train=False)
-                          ["params"]["speaker_emb"]["embedding"])
+    # create_train_state(PRNGKey(0)) reproduces the TRUE training init
+    # (the train CLI seeds it with --seed, default 0, and param values
+    # depend only on the rng + static shapes), so state.g_params is the
+    # exact table the run started from — comparing against any other
+    # init key would make the "table moved" check vacuous (two unrelated
+    # random tables differ by ~1.4x the init scale)
     state = create_train_state(jax.random.PRNGKey(0), model, disc,
                                {**kw}, train_cfg, model_cfg)
+    init_emb = np.asarray(state.g_params["speaker_emb"]["embedding"])
     params, batch_stats = restore_generator_params(
         f"{WS}/output/ckpt/TestCorpus_naive", steps, state)
     variables = {"params": params, "batch_stats": batch_stats}
@@ -364,7 +366,7 @@ def check_speaker_conditioning(steps):
     # measured on the recorded 4.5k-step run: ratio 3.00 (0.202 vs 0.067;
     # at 1.5k steps it was still 0.64 — the speaker effect emerges
     # between 1.5k and 4.5k as the conditioned D sharpens), table moved
-    # 0.242 vs init scale 0.160, cosines 0.32-0.54
+    # 0.183 vs init scale 0.136 (1.34x), cosines 0.32-0.54
     assert ratio >= 1.5, (
         "a speaker swap must change the sampled mel more than a noise "
         "reswap — sampling is not meaningfully speaker-conditioned", stats)
@@ -621,5 +623,11 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "multispeaker":
         WS = "/tmp/horizon_ms_ws"  # separate corpus/checkpoint workspace
         run_naive(multispeaker=True)
+    elif len(sys.argv) > 1:
+        # fail loudly rather than silently launching the (long, TPU-
+        # exclusive) default aux->shallow drive on a typo
+        sys.exit(f"unknown mode {sys.argv[1]!r} "
+                 f"(expected 'naive' or 'multispeaker', or no argument "
+                 f"for the aux->shallow drive)")
     else:
         main()
