@@ -254,8 +254,10 @@ def convert_reference_checkpoint_cli():
     # checkpoint conversion is host-side (param trees -> numpy); CPU is
     # the right backend, avoids holding the single TPU tunnel, and works
     # even when the pinned TPU plugin cannot register in this process.
-    # Restored on exit: tests drive this CLI in-process and the session's
-    # other work may need the TPU backend
+    # Best-effort: xla_bridge caches backends on first use, so the pin
+    # (and its restore on exit) only takes effect if no backend has been
+    # initialized yet in this process — in-process test callers rely on
+    # conftest's "cpu,axon" ordering already preferring CPU
     prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
     try:

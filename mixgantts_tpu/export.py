@@ -18,9 +18,12 @@ Layout rules (inverse of convert.py's):
 - LayerNorm / Embedding         -> carried as-is
 - `batch_stats` collection      -> BatchNorm running stats
 Optimizer/scheduler states are NOT exported (optax MultiSteps/Noam
-state does not map onto torch Adam moments); a reference `train.py`
-resuming from an exported checkpoint behaves like its aux->shallow
-handoff — weights restored, optimizers fresh.
+state does not map onto torch Adam moments), so the 3-key export is
+always loadable by the reference's `synthesize.py` (train=False path),
+but by a reference `train.py` resume ONLY when `--restore_step` equals
+`total_step_aux` — at any other step the reference unconditionally
+reads ckpt["optG_fs2"]/["optG"]/["optD"]/["sdlG"]/["sdlD"]
+(`utils/model.py:41-46`) and a 3-key checkpoint raises KeyError.
 """
 
 import numpy as np
@@ -311,8 +314,10 @@ def export_checkpoint_cli():
     # checkpoint export is host-side (param trees -> numpy -> torch); CPU
     # is the right backend, avoids holding the single TPU tunnel, and
     # works even when the pinned TPU plugin cannot register in this
-    # process.  Restored on exit: tests drive this CLI in-process and the
-    # session's other work may need the TPU backend
+    # process.  Best-effort: xla_bridge caches backends on first use, so
+    # the pin (and its restore on exit) only takes effect if no backend
+    # has been initialized yet in this process — in-process test callers
+    # rely on conftest's "cpu,axon" ordering already preferring CPU
     prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
     try:
