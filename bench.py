@@ -8,15 +8,26 @@ of audio).  BASELINE.md north star: RTF < 0.02 on one v5e chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Capture robustness (round-2 postmortem: BENCH_r02.json recorded a raw
-``Unable to initialize backend 'axon': UNAVAILABLE`` traceback, and backend
-init can also HANG outright during tunnel degradations): the parent process
-never imports jax.  It supervises an impl subprocess that announces
-"backend ready" on stderr once device enumeration returns; the parent
-enforces a short deadline for that marker (init hang => kill + retry) and a
-long one for the measured run (cold remote compile is 4-12 min, CLAUDE.md),
-retries with backoff, and on hard failure emits a one-line JSON diagnostic
-{"metric", "value": null, "error"} instead of a traceback.
+Capture robustness (round-2 + round-4 postmortems):
+- r2: backend init can raise OR hang during tunnel degradations, so the
+  parent never imports jax — it supervises an impl subprocess that
+  announces phase markers on stderr and enforces per-phase deadlines.
+- r4: BENCH_r04.json was rc=124/parsed=null — attempt 1 burned its full
+  25-min window "compiling" DESPITE a warm persistent-cache entry (the
+  chip was held or the axon service stalled), and the old worst-case
+  retry budget (3x(240+1500)s) guaranteed the driver killed us before a
+  diagnostic JSON could land.  Fixes here:
+  (a) chip-liveness preflight: right after "backend ready" the child runs
+      a trivial jitted program and must complete an actual device->host
+      fetch inside PREFLIGHT_TIMEOUT; a miss means "chip busy/stalled"
+      (NOT "compiling") and triggers a fast retry instead of a 18-min burn;
+  (b) cache observability: jax_explain_cache_misses is on and the child
+      logs the persistent-cache dir + how many jit_synthesize entries it
+      holds, so the next postmortem is one read of the stderr tail;
+  (c) a HARD total wall-clock cap (MIXGANTTS_BENCH_TOTAL, default 23 min):
+      every per-phase deadline is clamped to the total budget minus an
+      emit margin, so a one-line JSON (value or diagnostic) ALWAYS lands
+      inside the driver's capture window.
 """
 
 import json
@@ -35,18 +46,25 @@ def _env_int(name, default):
     return int(os.environ.get(name, default))
 
 
-READY_TIMEOUT = _env_int("MIXGANTTS_BENCH_READY_TIMEOUT", 240)
-BENCH_TIMEOUT = _env_int("MIXGANTTS_BENCH_TIMEOUT", 1500)
-ATTEMPTS = _env_int("MIXGANTTS_BENCH_ATTEMPTS", 3)
-BACKOFF_S = _env_int("MIXGANTTS_BENCH_BACKOFF", 60)
+READY_TIMEOUT = _env_int("MIXGANTTS_BENCH_READY_TIMEOUT", 180)
+PREFLIGHT_TIMEOUT = _env_int("MIXGANTTS_BENCH_PREFLIGHT_TIMEOUT", 90)
+BENCH_TIMEOUT = _env_int("MIXGANTTS_BENCH_TIMEOUT", 1020)
+TOTAL_BUDGET = _env_int("MIXGANTTS_BENCH_TOTAL", 1380)
+ATTEMPTS = _env_int("MIXGANTTS_BENCH_ATTEMPTS", 4)
+BACKOFF_S = _env_int("MIXGANTTS_BENCH_BACKOFF", 20)
+FAST_BACKOFF_S = _env_int("MIXGANTTS_BENCH_FAST_BACKOFF", 8)
+EMIT_MARGIN = 20  # seconds reserved at the end of TOTAL_BUDGET for JSON
 METRIC = "rtf_shallow_synthesis_1chip"
 UNIT = "ratio (synthesis_time / audio_time; lower is better)"
 
 
 def _impl():
     """The actual benchmark; runs in a supervised child process."""
+    import glob
+
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     if os.environ.get("MIXGANTTS_BENCH_FORCE_CPU"):
         # plumbing self-test only — CPU numbers are not the benchmark
@@ -54,12 +72,52 @@ def _impl():
     devices = jax.devices()
     print(f"[bench] backend ready: {devices}", file=sys.stderr, flush=True)
 
+    # Chip-liveness preflight: device enumeration succeeding does NOT mean
+    # the chip will run our programs (r4: another process can hold it, or
+    # the axon service can stall post-enumeration).  A trivial program +
+    # an actual data fetch distinguishes "chip live" from "chip held":
+    # the parent kills us if "preflight ok" misses its short deadline.
+    t0 = time.perf_counter()
+    probe = jax.jit(lambda x: x * 2.0 + 1.0)(jnp.arange(8.0))
+    np.asarray(probe)
+    print(f"[bench] preflight ok ({time.perf_counter() - t0:.1f}s: "
+          "trivial program compiled + fetched)", file=sys.stderr, flush=True)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_model, _example_text_batch
     from mixgantts_tpu.cli.common import enable_compilation_cache
     from mixgantts_tpu.models.vocoder import get_vocoder
 
     enable_compilation_cache()
+    # cache observability (r4 postmortem was blind here): say where the
+    # persistent cache lives, whether the synthesis program is already in
+    # it, and have jax explain any tracing-cache misses as they happen —
+    # but only for the program that matters: every trivial op (jit_add,
+    # jit_iota, ...) also logs a MISS line, hundreds of which would scroll
+    # the useful markers out of the driver's captured tail
+    jax.config.update("jax_explain_cache_misses", True)
+
+    import logging
+
+    class _OnlySynthesizeCacheLines(logging.Filter):
+        def filter(self, rec):
+            msg = rec.getMessage()
+            noisy = ("COMPILATION CACHE MISS" in msg
+                     or "persistent cache entry" in msg
+                     or "persistent compilation cache" in msg.lower())
+            return not noisy or "jit_synthesize" in msg
+
+    for logger_name in ("jax._src.compiler", "jax._src.compilation_cache"):
+        logging.getLogger(logger_name).addFilter(
+            _OnlySynthesizeCacheLines())
+    cache_dir = jax.config.jax_compilation_cache_dir
+    entries = glob.glob(os.path.join(cache_dir or "", "*")) if cache_dir \
+        else []
+    warm = [e for e in entries if "jit_synthesize" in os.path.basename(e)]
+    print(f"[bench] compile cache: dir={cache_dir} entries={len(entries)} "
+          f"jit_synthesize={len(warm)} "
+          f"({'warm' if warm else 'cold — expect 4-12 min compile'})",
+          file=sys.stderr, flush=True)
 
     model, (pre_cfg, model_cfg, train_cfg) = _flagship_model("shallow")
 
@@ -102,9 +160,11 @@ def _impl():
     args = jax.device_put(args)
 
     # warmup/compile
+    t0 = time.perf_counter()
     wav, mel_lens = synthesize(*args)
     np.asarray(wav)
-    print("[bench] compiled; measuring", file=sys.stderr, flush=True)
+    print(f"[bench] compiled in {time.perf_counter() - t0:.0f}s; measuring",
+          file=sys.stderr, flush=True)
 
     # steady-state serving latency: pipeline a queue of requests and
     # materialize the final waveform once at the end.  The barrier must be
@@ -136,8 +196,14 @@ def _impl():
     }), flush=True)
 
 
-def _attempt(n):
-    """One supervised child run.  Returns (json_line | None, error | None)."""
+def _attempt(n, total_deadline):
+    """One supervised child run.
+
+    Returns (json_line | None, error | None, phase_reached).  Every
+    per-phase deadline is clamped to `total_deadline` (monotonic time)
+    minus nothing — the caller already reserved the emit margin — so the
+    attempt can never outlive the total budget.
+    """
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.abspath(__file__), "--impl"],
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -152,14 +218,20 @@ def _attempt(n):
     for stream, tag in ((proc.stdout, "out"), (proc.stderr, "err")):
         threading.Thread(target=pump, args=(stream, tag), daemon=True).start()
 
+    def clamp(seconds):
+        return min(time.monotonic() + seconds, total_deadline)
+
     result, stderr_tail, eofs = None, [], 0
-    deadline = time.monotonic() + READY_TIMEOUT
+    deadline = clamp(READY_TIMEOUT)
     phase = "backend init"
     while eofs < 2:
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             proc.kill()
-            return None, f"timeout during {phase} (attempt {n})"
+            hint = (" — chip busy/stalled, NOT compiling"
+                    if phase == "preflight" else "")
+            return (None, f"timeout during {phase} (attempt {n}){hint}",
+                    phase)
         try:
             tag, line = q.get(timeout=min(remaining, 5.0))
         except queue.Empty:
@@ -172,8 +244,11 @@ def _attempt(n):
             sys.stderr.flush()
             stderr_tail = (stderr_tail + [line.rstrip()])[-8:]
             if "backend ready" in line:
+                phase = "preflight"
+                deadline = clamp(PREFLIGHT_TIMEOUT)
+            elif "preflight ok" in line:
                 phase = "compile+measure"
-                deadline = time.monotonic() + BENCH_TIMEOUT
+                deadline = clamp(BENCH_TIMEOUT)
         else:
             line = line.strip()
             if line.startswith("{"):
@@ -185,16 +260,25 @@ def _attempt(n):
                     pass
     rc = proc.wait()
     if rc == 0 and result is not None:
-        return result, None
+        return result, None, phase
     err = next((l for l in reversed(stderr_tail) if "Error" in l),
                stderr_tail[-1] if stderr_tail else "no output")
-    return None, f"rc={rc} during {phase} (attempt {n}): {err[:300]}"
+    return None, f"rc={rc} during {phase} (attempt {n}): {err[:300]}", phase
 
 
 def main():
+    t_start = time.monotonic()
+    total_deadline = t_start + TOTAL_BUDGET - EMIT_MARGIN
     errors = []
-    for n in range(1, ATTEMPTS + 1):
-        result, err = _attempt(n)
+    n = 0
+    while n < ATTEMPTS:
+        n += 1
+        remaining = total_deadline - time.monotonic()
+        if remaining < READY_TIMEOUT + PREFLIGHT_TIMEOUT:
+            errors.append(f"total budget exhausted before attempt {n} "
+                          f"({remaining:.0f}s left of {TOTAL_BUDGET}s)")
+            break
+        result, err, phase = _attempt(n, total_deadline)
         if result is not None:
             print(result, flush=True)
             return 0
@@ -202,12 +286,21 @@ def main():
         print(f"[bench] attempt {n}/{ATTEMPTS} failed: {err}",
               file=sys.stderr, flush=True)
         if n < ATTEMPTS:
-            time.sleep(BACKOFF_S)
+            # init/preflight failures are transient chip-held conditions:
+            # retry fast rather than letting backoff eat the budget
+            backoff = (FAST_BACKOFF_S if phase in ("backend init",
+                                                   "preflight")
+                       else BACKOFF_S)
+            if time.monotonic() + backoff >= total_deadline:
+                errors.append("total budget exhausted during backoff")
+                break
+            time.sleep(backoff)
     print(json.dumps({
         "metric": METRIC,
         "value": None,
         "unit": UNIT,
-        "error": f"all {ATTEMPTS} attempts failed; last: {errors[-1]}",
+        "error": f"{len(errors)} failures in "
+                 f"{time.monotonic() - t_start:.0f}s; last: {errors[-1]}",
     }), flush=True)
     return 1
 
