@@ -2,18 +2,27 @@
 
 HELDOUT below is a 213-entry CMUdict-style evaluation set that was NOT
 consulted while writing the rules in `mixgantts_tpu/text/lts.py` (a
-separate dev list was used for tuning; round-4 rule-family fixes were
+separate dev list was used for tuning; round-4/5 rule-family fixes were
 additionally guarded by a common-word regression set of CMUdict
 pronunciations).  The bar matches the reference's capability claim for its
 g2p_en fallback (`synthesize.py:52-60`) scaled to a rule system, with the
 floors ratcheted close to measured accuracy so silent regressions fail:
-measured 96.2% phoneme (floor 93%), 83.1% exact-word (floor 75%), 98.1%
-primary-stress position (floor 90%).  Round-4 rule-family fixes were
-steered by held-out ERROR PATTERNS (as VERDICT r3 #4 directed) but
-guarded against overfitting by an independent common-word victim list
-per family (contraction/-tain verbs/-ush/-dg compounds), so the
-measured numbers are honest regression floors rather than blind-test
-claims for those families.
+measured 99.8% phoneme (floor 97%), 98.6% stress-sensitive phoneme
+(floor 96.5%), 99.1% exact-word (floor 95%), 98.1% primary-stress
+position (floor 90%).
+
+HONESTY NOTE on those numbers: rounds 4-5 fixed exactly the rule
+families the held-out ERROR PATTERNS pointed at (as VERDICT r3 #4 / r4
+#5 directed), so HELDOUT is no longer a blind test set — the measured
+rates are tight regression floors for this list, not unbiased estimates
+of open-vocabulary accuracy.  Overfitting is bounded two ways: every
+round-4/5 fix is a rule FAMILY (unstressed -in/-id/-ist/-est/-ot/-ol,
+open-syllable a+CV, syllabic-l inflections) or a genuine English
+irregular any practical system ships as an exception (cupboard,
+scissors, salmon), and each family carries independent common-word
+victim pins in test_rule_family_victims below.  The two remaining
+misses (admire, jagged) need morphology/POS the rule formalism cannot
+express; they are left honest rather than special-cased.
 """
 
 import re
@@ -263,18 +272,36 @@ def test_heldout_phoneme_accuracy():
         errors += _edit_distance(got, ref_phones)
         total += len(ref_phones)
     accuracy = 1.0 - errors / total
-    assert accuracy >= 0.93, (
-        f"held-out G2P phoneme accuracy {accuracy:.3f} < 0.93 "
-        f"({errors}/{total} errors; measured 0.962 at the floor's setting)")
+    assert accuracy >= 0.97, (
+        f"held-out G2P phoneme accuracy {accuracy:.3f} < 0.97 "
+        f"({errors}/{total} errors; measured 0.998 at the floor's setting)")
+
+
+def test_heldout_stress_sensitive_phoneme_accuracy():
+    """Same edit-distance metric WITH stress digits kept (VERDICT r4 #5:
+    the stress-insensitive metric could not see stress errors beyond the
+    primary-position check).  Measured 0.986; floor measured-minus-2pts."""
+    total = errors = 0
+    for word, ref in HELDOUT.items():
+        ref_phones = ref.split()
+        got = letter_to_sound(word)
+        errors += _edit_distance(got, ref_phones)
+        total += len(ref_phones)
+    accuracy = 1.0 - errors / total
+    assert accuracy >= 0.965, (
+        f"held-out stress-sensitive phoneme accuracy {accuracy:.3f} < "
+        f"0.965 ({errors}/{total} errors; measured 0.986)")
 
 
 def test_exact_word_rate_floor():
-    """Whole-word bar: at least 75% of held-out words must come out
-    perfectly (stress-insensitive; measured 0.831)."""
+    """Whole-word bar: at least 95% of held-out words must come out
+    perfectly (stress-insensitive; measured 0.991 — see the module
+    docstring for why this is a regression floor, not a blind-test
+    claim)."""
     exact = sum(
         _strip_stress(letter_to_sound(w)) == _strip_stress(ref.split())
         for w, ref in HELDOUT.items())
-    assert exact / len(HELDOUT) >= 0.75, exact
+    assert exact / len(HELDOUT) >= 0.95, exact
 
 
 def _primary_stress_index(phones):
@@ -347,7 +374,54 @@ def test_rule_family_victims():
         "certainty": "S ER T AH N T IY",
         "pertaining": "P ER T EY N IH NG",  # stressed -tain stays EY
         "mnemonic": "N AH M AA N IH K",     # initial m silent
+        "damning": "D AE M IH NG",          # gerund keeps n silent
+        "condemning": "K AH N D EH M IH NG",
+        "columnist": "K AA L AH M N IH S T",  # -ist: n IS pronounced
         "dog's": "D AA G Z", "cat's": "K AE T S", "day's": "D EY Z",
+        # round-5 family victims (one group per new rule family):
+        # unstressed -in/-id/-ist/-est/-ot/-ol must not leak to
+        # monosyllables or the s/x-onset stressed forms
+        "chin": "CH IH N", "win": "W IH N", "skin": "S K IH N",
+        "napkin": "N AE P K AH N", "robin": "R AA B AH N",
+        "kid": "K IH D", "rapid": "R AE P AH D", "solid": "S AA L AH D",
+        "mist": "M IH S T", "wrist": "R IH S T",
+        "insist": "IH N S IH S T",
+        # exist: the engine's x is always K S (CMUdict voices it to G Z —
+        # a pre-existing, separately-measured axis); the pin guards that
+        # the stressed -ist vowel survives the new -ist family
+        "exist": "EH K S IH S T",
+        "florist": "F L AO R AH S T",
+        "west": "W EH S T", "best": "B EH S T",
+        "modest": "M AA D AH S T", "hardest": "HH AA R D AH S T",
+        "biggest": "B IH G AH S T", "invest": "IH N V EH S T",
+        "pot": "P AA T", "slot": "S L AA T", "mascot": "M AE S K AA T",
+        "parrot": "P AE R AH T",
+        # pilot: first vowel is a pre-existing IH-for-AY miss; the pin
+        # guards the new -ot family's AH T ending
+        "pilot": "P IH L AH T",
+        "symbol": "S IH M B AH L",
+        # syllabic-l inflections keep the schwa; -ler agent/comparative
+        # forms drop it (CMUdict: settler, antler, smuggler)
+        "settled": "S EH T AH L D", "bottles": "B AA T AH L Z",
+        "settler": "S EH T L ER",
+        # open-syllable a+CV families must not leak to short-a words
+        "table": "T EY B AH L", "tablet": "T AE B L AH T",
+        "wagon": "W AE G AH N", "dragon": "D R AE G AH N",
+        "apple": "AE P AH L", "april": "EY P R AH L",
+        "amber": "AE M B ER", "gamble": "G AE M B AH L",
+        # any/many stay EH N IY, canyon gets the consonantal y
+        "any": "EH N IY", "many": "M EH N IY",
+        "anything": "EH N IY TH IH NG", "canyon": "K AE N Y AH N",
+        # irregular specials must stay word-anchored
+        "number": "N AH M B ER", "lumber": "L AH M B ER",  # vs plumber
+        "plumber": "P L AH M ER", "plump": "P L AH M P",
+        "finger": "F IH NG G ER",           # vs ginger's soft g
+        "mother": "M AH DH ER", "weather": "W EH DH ER",  # vs panther
+        "panther": "P AE N TH ER",
+        "love": "L AH V", "glove": "G L AH V",  # vs clover
+        "foster": "F AA S T ER",            # vs poster
+        "almond": "AA M AH N D",            # vs salmon's front a
+        "deserted": "D IH Z ER T AH D",     # the verb keeps D IH
     }
     # collapse unstressed-vowel quality (a pre-existing, separately
     # measured axis) so these pins only guard the rule families above;
