@@ -58,6 +58,7 @@ bao4 报抱暴爆豹鲍
 bei1 杯悲卑碑背
 bei3 北
 bei4 贝备倍被辈惫狈焙
+bei5 呗
 ben1 奔
 ben3 本
 ben4 笨
@@ -527,7 +528,7 @@ lu2 卢芦炉庐颅泸鲈鸬
 lu3 鲁卤掳虏橹
 lu4 陆录鹿碌路赂戮麓鹭辘漉露
 lv2 驴榈
-lv3 吕旅铝屡缕侣偻褛
+lv3 吕旅铝屡缕侣偻褛履
 lv4 律虑率绿氯滤
 luan2 峦孪挛滦銮
 luan3 卵
@@ -561,6 +562,7 @@ mei3 每美
 mei4 妹魅昧媚寐
 men1 闷
 men2 门
+men5 们
 men4 闷焖懑
 meng1 蒙
 meng2 萌盟檬朦
