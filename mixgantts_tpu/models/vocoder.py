@@ -114,13 +114,17 @@ def get_vocoder(model_config, ckpt_dir=None, num_mels=None):
         return Vocoder(name, module, params, config=config)
 
     if name == "MelGAN":
-        module = MelGANGenerator()
         ckpt_path = os.path.join(ckpt_dir, "melgan_generator.pt")
         if os.path.isfile(ckpt_path):
+            # converted torch.hub weights are 80-mel by construction
+            module = MelGANGenerator()
             params = convert_torch_melgan(_load_torch_state_dict(ckpt_path))
         else:
+            # random-init generator: honor the corpus's mel bin count
+            # (tests / non-80-bin corpora), as the HiFi-GAN branch does
+            module = MelGANGenerator(n_mels=num_mels or 80)
             params = module.init(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 16, 80)))["params"]
+                                 jnp.zeros((1, 16, num_mels or 80)))["params"]
         return Vocoder(name, module, params)
 
     raise ValueError(f"unknown vocoder {name!r}")

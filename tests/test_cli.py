@@ -199,6 +199,48 @@ def test_synthesize_single_cli(workspace, monkeypatch):
     assert any(f.endswith(".png") for f in files)
 
 
+def test_synthesize_single_cli_melgan(workspace, monkeypatch):
+    """MelGAN-config synthesis through the real CLI (VERDICT r4 #7): the
+    `vocoder: MelGAN` route must drive the 1/ln10 input scaling + infer
+    path end to end (`models/vocoder.py:66-69,116-117`; reference
+    `utils/model.py:80-90,111-112`), with the random-init generator
+    honoring the corpus's 20-bin mels (a hard-coded 80 would crash
+    apply)."""
+    from mixgantts_tpu.cli import synthesize as syn
+
+    cfg_path = os.path.join(workspace, "config", "TestCorpus",
+                            "model.yaml")
+    with open(cfg_path) as f:
+        orig = f.read()
+    cfg = yaml.safe_load(orig)
+    cfg["vocoder"] = {"model": "MelGAN", "speaker": "LJSpeech"}
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    try:
+        monkeypatch.setattr(
+            sys, "argv",
+            ["synthesize.py", "--restore_step", "4", "--model", "naive",
+             "--mode", "single", "--text", "hello melgan",
+             "--dataset", "TestCorpus"])
+        syn.cli()
+    finally:
+        with open(cfg_path, "w") as f:
+            f.write(orig)
+    result_dir = os.path.join(
+        workspace, "output/result/TestCorpus_naive", "4")
+    wavs = [f for f in os.listdir(result_dir)
+            if f.startswith("hello melgan") and f.endswith(".wav")]
+    assert wavs, os.listdir(result_dir)
+    import wave
+    with wave.open(os.path.join(result_dir, wavs[0])) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    # random-init model predicts a short mel; just require real samples
+    assert len(pcm) > 256
+    pcm_f = pcm.astype(np.float32) / 32768.0
+    assert np.isfinite(pcm_f).all()
+    assert float(np.std(pcm_f)) > 1e-5, "MelGAN output is silent"
+
+
 def test_synthesize_batch_teacher_forced(workspace, monkeypatch):
     from mixgantts_tpu.cli import synthesize as syn
 
