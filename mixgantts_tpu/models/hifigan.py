@@ -226,7 +226,11 @@ def fused_apply(params, mel, config, interpret=None, compute_dtype=None,
     def branchwise_mrf(x, stage, rks, dils):
         # C > 128: the full stage weights exceed VMEM, but one branch's
         # fit — run the same kernel once per branch and average (the
-        # signal re-streams 3x, dwarfed by this stage's 32x-lower rate)
+        # signal re-streams 3x, dwarfed by this stage's 32x-lower rate).
+        # The whole-stage streamed-weight alternative
+        # (`mrf_stack_streamed`) measured 0.36x on the real C=256 stage
+        # (1.33 vs 3.70 ms, `bench_mrf_stage.py c256`) — rejected with
+        # numbers, see ops/pallas_vocoder.py
         acc = None
         for j, rk in enumerate(rks):
             st = stack_mrf_params(params, stage, (rk,), dils,

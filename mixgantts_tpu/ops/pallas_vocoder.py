@@ -383,6 +383,148 @@ def mrf_stack_folded(x, stacked, kernel_sizes=(3, 7, 11),
     return out.reshape(B, Tp, C)[:, :T]
 
 
+# --- Streamed-weight path (C > 128): weights stream, signal stays -------
+#
+# The C=256 stage's full weights (26 MB bf16) exceed VMEM, so `mrf_stack`
+# refuses it and `models/hifigan.fused_apply` runs one single-branch call
+# per branch (8.7 MB resident each), re-streaming the signal 3x.  This
+# variant keeps ONE kernel for the whole stage by adding an inner grid
+# dimension over the 9 (branch, pair) steps: the weight BlockSpec indexes
+# on it, so Pallas streams each pair's 2.9 MB of conv weights through a
+# double buffer, while the signal tile and the residual/average state sit
+# in scratch that persists across the (sequential) inner grid steps.
+# HBM weight traffic is n_tiles * 26 MB (~78 MB at the real stage shape,
+# ~0.1 ms at the 819 GB/s roof) versus zero for the branchwise path — the
+# trade is 2 fewer audio-rate signal round-trips + 2 fewer kernel
+# launches.
+#
+# MEASURED AND REJECTED (VERDICT r4 #8, `bench_mrf_stage.py c256`, real
+# V1 stage C=256 T=6912 B=1): branchwise 1.33-1.39 ms, streamed 3.70 ms
+# at the auto tile (0.36x) and no better at tile=1152 (3.91) or 576
+# (4.25) — so the loss is structural, not VMEM pressure: the 9-step
+# revisiting grid with per-step predicated bodies pipelines far worse
+# than three plain unrolled kernels, dwarfing the ~0.5 ms of signal
+# re-streaming it saves.  `fused_apply` keeps the branch-per-call path;
+# this variant stays correctness-tested (test_pallas.py) as the measured
+# record, like the prefused fold.
+
+
+def _kernel_streamed(T, tile, kernel_sizes, dilations, x_ref, w1_ref,
+                     b1_ref, w2_ref, b2_ref, out_ref, y_s, acc_s):
+    t_idx = pl.program_id(1)
+    s = pl.program_id(2)  # (branch, pair) step, innermost => sequential
+    n_pair = len(dilations)
+    C = x_ref.shape[-1]
+    tile_h = tile + 2 * HALO
+
+    pos = (t_idx * tile - HALO
+           + jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0))
+    mask = ((pos >= 0) & (pos < T)).astype(jnp.float32)
+    op_dtype = w1_ref.dtype
+
+    @pl.when(s % n_pair == 0)
+    def _():  # branch start: residual state <- stage input
+        y_s[:] = x_ref[0, 0].astype(jnp.float32)
+
+    # all 9 (rk, d) bodies are compiled in, predicated on s; each grid
+    # step executes exactly one, against its streamed weight block
+    for br, rk in enumerate(kernel_sizes):
+        pad = (TAPS - rk) // 2
+        taps = tuple(range(pad, TAPS - pad))
+        for p, d in enumerate(dilations):
+            @pl.when(s == br * n_pair + p)
+            def _(taps=taps, d=d):
+                t = (jax.nn.leaky_relu(y_s[:], LRELU_SLOPE)
+                     * mask).astype(op_dtype)
+                t = _conv(t, w1_ref[0, 0],
+                          b1_ref[0, 0].astype(jnp.float32), d, C, taps)
+                t = (jax.nn.leaky_relu(t, LRELU_SLOPE)
+                     * mask).astype(op_dtype)
+                t = _conv(t, w2_ref[0, 0],
+                          b2_ref[0, 0].astype(jnp.float32), 1, C, taps)
+                y_s[:] = y_s[:] + t
+
+    @pl.when(s == n_pair - 1)
+    def _():  # first branch done
+        acc_s[:] = y_s[:]
+
+    @pl.when(jnp.logical_and(s % n_pair == n_pair - 1, s >= n_pair))
+    def _():  # later branch done
+        acc_s[:] = acc_s[:] + y_s[:]
+
+    @pl.when(s == len(kernel_sizes) * n_pair - 1)
+    def _():
+        out_ref[0, 0] = (acc_s[HALO:HALO + tile]
+                         / len(kernel_sizes)).astype(out_ref.dtype)
+
+
+def mrf_stack_streamed(x, stacked, kernel_sizes=(3, 7, 11),
+                       dilations=(1, 3, 5), tile=None, interpret=None):
+    """Whole-stage MRF for C > 128 (weights streamed per branch-pair).
+    Same contract as `mrf_stack`; numerically identical (fp32 tolerance)
+    to the flax ResBlock1 stack."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if not interpret:
+        stacked = dict(stacked, w1=stacked["w1"].astype(jnp.bfloat16),
+                       w2=stacked["w2"].astype(jnp.bfloat16))
+    B, T, C = x.shape
+    n_branch, n_pair = stacked["w1"].shape[:2]
+    if tile is None:
+        # fewest <=2048-frame tiles that cover T without gross padding;
+        # scoped VMEM at C=256, tile=1728, fp32 in/out: x bf16 + out +
+        # y/acc scratch + 2.9 MB/step weight blocks, everything but
+        # scratch double-buffered ~= 15 MB (2304 tiles OOM at 17.4M)
+        tile = -(-T // pl.cdiv(T, 2048)) if T > 2048 else T
+    tile = -(-min(tile, max(8, T)) // 8) * 8
+    n_t = pl.cdiv(T, tile)
+    Tp = n_t * tile
+    tile_h = tile + 2 * HALO
+
+    b1 = stacked["b1"][:, :, None, :]  # [3, 3, 1, C]
+    b2 = stacked["b2"][:, :, None, :]
+
+    xp = jnp.pad(x, ((0, 0), (HALO, Tp - T + HALO), (0, 0)))
+    gather = (np.arange(n_t)[:, None] * tile
+              + np.arange(tile_h)[None, :])
+    x_tiles = xp[:, gather]  # [B, n_t, tile_h, C]
+    if not interpret and x_tiles.dtype == jnp.float32:
+        x_tiles = x_tiles.astype(jnp.bfloat16)
+
+    kernel = functools.partial(_kernel_streamed, T, tile,
+                               tuple(kernel_sizes), tuple(dilations))
+    step_w = lambda b, t, s: (s // n_pair, s % n_pair, 0, 0, 0)
+    step_b = lambda b, t, s: (s // n_pair, s % n_pair, 0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_t, n_branch * n_pair),
+        in_specs=[
+            # constant in s: the signal tile is DMA'd once per (b, t)
+            pl.BlockSpec((1, 1, tile_h, C), lambda b, t, s: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # indexed on s: one (branch, pair)'s weights resident at a
+            # time, streamed through Pallas's double buffer
+            pl.BlockSpec((1, 1, TAPS, C, C), step_w,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C), step_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TAPS, C, C), step_w,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C), step_b, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile, C),
+                               lambda b, t, s: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_t, tile, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, C), jnp.float32),
+            pltpu.VMEM((tile_h, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_tiles, stacked["w1"], b1, stacked["w2"], b2)
+
+    return out.reshape(B, Tp, C)[:, :T]
+
+
 def mrf_stack(x, stacked, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5),
               tile=None, interpret=None, circular=None):
     """x [B, T, C] with C <= 128, stacked from `stack_mrf_params`.

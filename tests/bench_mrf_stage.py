@@ -117,6 +117,39 @@ def main_fused_upsample(stages=((32, 221184), (64, 110592))):
               f"prefused {t_c * 1e3:7.3f} ms ({t_a / t_c:.2f}x)")
 
 
+def main_c256(C=256, T=6912):
+    """The one stage `mrf_stack` refuses (weights > VMEM): branch-per-call
+    (status quo in fused_apply) vs the streamed-weight whole-stage kernel
+    (VERDICT r4 #8).  Real V1 shape: C=256, T = 864 mel frames x u=8."""
+    from mixgantts_tpu.ops.pallas_vocoder import (
+        mrf_stack, mrf_stack_streamed, stack_mrf_params,
+    )
+
+    print(f"backend={jax.default_backend()}")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, T, C) * 0.3,
+                    jnp.float32)
+    params = _stage_params(C)
+    st = stack_mrf_params(params, 0)
+
+    def branchwise(a):
+        acc = None
+        for j, rk in enumerate((3, 7, 11)):
+            stb = stack_mrf_params(params, 0, (rk,), branches=[(j, rk)])
+            y = mrf_stack(a, stb, (rk,))
+            acc = y if acc is None else acc + y
+        return acc / 3
+
+    t_b = bench(jax.jit(branchwise), x, iters=50)
+    line = f"C={C:4d} T={T:7d}  branchwise {t_b * 1e3:7.3f} ms  "
+    for tile in (None, 1152, 576):
+        t_s = bench(jax.jit(
+            lambda a, tl=tile: mrf_stack_streamed(a, st, tile=tl)),
+            x, iters=50)
+        line += (f"  streamed[{tile or 'auto'}] {t_s * 1e3:7.3f} ms "
+                 f"({t_b / t_s:.2f}x)")
+    print(line)
+
+
 def _stage_params(C):
     from flax import linen
     from mixgantts_tpu.models.hifigan import ResBlock1
@@ -141,6 +174,8 @@ def _stage_params(C):
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fused_upsample":
         main_fused_upsample()
+    elif len(sys.argv) > 1 and sys.argv[1] == "c256":
+        main_c256()
     elif len(sys.argv) == 3:
         main([(int(sys.argv[1]), int(sys.argv[2]))])
     else:

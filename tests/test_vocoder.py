@@ -173,6 +173,26 @@ def test_fused_apply_auto_folds_narrow_stages():
     np.testing.assert_allclose(got_off, want, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_apply_wide_stage():
+    """A config whose first stage exceeds C=128 (like V1's 256) must route
+    through the streamed-weight whole-stage kernel and still match the
+    flax graph — covers the C > 128 wiring end-to-end that SMALL_CONFIG
+    (C=8/4 stages) never reaches."""
+    from mixgantts_tpu.models.hifigan import fused_apply
+
+    cfg = dict(SMALL_CONFIG, upsample_initial_channel=288,
+               upsample_rates=[2, 2], upsample_kernel_sizes=[4, 4])
+    fg = HiFiGANGenerator.from_config(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(5).randn(1, 10, cfg["num_mels"]),
+        jnp.float32)
+    params = fg.init(jax.random.PRNGKey(5), mel)["params"]
+    want = np.asarray(fg.apply({"params": params}, mel))
+    got = np.asarray(fused_apply(params, mel, cfg))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_apply_bf16_snr():
     """bf16 activations (the TPU default for fused_apply) must keep the
     waveform close to fp32: SNR > 30 dB."""
